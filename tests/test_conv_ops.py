@@ -1,0 +1,102 @@
+"""Conv op parity tests, modeled on reference tests/test_conv_ops.py but
+with numeric asserts against torch.nn.functional (the reference's backend)
+instead of human-judged printouts."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from wavenet_speech_tpu.ops import (
+    causal_conv1d,
+    noncausal_conv1d,
+    autopad,
+    receptive_field,
+    CausalConv1d,
+    NonCausalConv1d,
+)
+
+
+def torch_causal(x_ncl, w_oik, b, dilation):
+    """Reference CausalConv1d semantics (conv_ops.py:28-44): pad both sides
+    by (k-1)*d, slice [0:L]."""
+    k = w_oik.shape[2]
+    pad = (k - 1) * dilation
+    out = F.conv1d(x_ncl, w_oik, b, padding=pad, dilation=dilation)
+    return out[:, :, : x_ncl.shape[2]]
+
+
+def torch_noncausal(x_ncl, w_oik, b, dilation):
+    """Reference NonCausalConv1d semantics (conv_ops.py:62-79,104-116)."""
+    k = w_oik.shape[2]
+    pad = autopad(k, dilation)
+    out = F.conv1d(x_ncl, w_oik, b, padding=pad, dilation=dilation)
+    return out[:, :, : x_ncl.shape[2]]
+
+
+@pytest.mark.parametrize("k,d", [(2, 1), (2, 4), (3, 1), (3, 2), (5, 3), (2, 64)])
+def test_causal_conv_matches_torch(rng, k, d):
+    B, L, Cin, Cout = 2, 200, 8, 16
+    x = rng.standard_normal((B, L, Cin)).astype(np.float32)
+    w = rng.standard_normal((k, Cin, Cout)).astype(np.float32) * 0.1
+    b = rng.standard_normal((Cout,)).astype(np.float32)
+
+    ours = causal_conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), dilation=d)
+    # torch layout: x (B, C, L), w (out, in, k)
+    theirs = torch_causal(
+        torch.from_numpy(x.transpose(0, 2, 1)),
+        torch.from_numpy(w.transpose(2, 1, 0)),
+        torch.from_numpy(b),
+        d,
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,d", [(3, 1), (3, 2), (5, 3), (3, 64), (2, 2)])
+def test_noncausal_conv_matches_torch(rng, k, d):
+    B, L, Cin, Cout = 2, 200, 8, 16
+    x = rng.standard_normal((B, L, Cin)).astype(np.float32)
+    w = rng.standard_normal((k, Cin, Cout)).astype(np.float32) * 0.1
+    b = rng.standard_normal((Cout,)).astype(np.float32)
+
+    ours = noncausal_conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), dilation=d)
+    theirs = torch_noncausal(
+        torch.from_numpy(x.transpose(0, 2, 1)),
+        torch.from_numpy(w.transpose(2, 1, 0)),
+        torch.from_numpy(b),
+        d,
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_causality():
+    """Changing inputs at time t must not change causal outputs before t."""
+    key = jax.random.PRNGKey(0)
+    mod = CausalConv1d(4, 4, kernel_width=2, dilation=4)
+    params = mod.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 4))
+    y0 = mod.apply(params, x)
+    x2 = x.at[:, 40, :].set(99.0)
+    y1 = mod.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(y0[:, :40]), np.asarray(y1[:, :40]),
+                               rtol=1e-6)
+    assert not np.allclose(np.asarray(y0[:, 40:]), np.asarray(y1[:, 40:]))
+
+
+def test_length_preservation_and_receptive_field():
+    for k, d in [(2, 1), (3, 5), (4, 2), (2, 512)]:
+        assert receptive_field(k, d) == k + (d - 1) * (k - 1)
+        x = jnp.zeros((1, 100, 3))
+        w = jnp.zeros((k, 3, 3))
+        assert causal_conv1d(x, w, dilation=d).shape == (1, 100, 3)
+        assert noncausal_conv1d(x, w, dilation=d).shape == (1, 100, 3)
+
+
+def test_module_shapes():
+    key = jax.random.PRNGKey(0)
+    for mod in [CausalConv1d(6, 12, 3, 2), NonCausalConv1d(6, 12, 3, 2)]:
+        p = mod.init(key)
+        assert p["w"].shape == (3, 6, 12)
+        y = mod.apply(p, jnp.ones((2, 50, 6)))
+        assert y.shape == (2, 50, 12)
