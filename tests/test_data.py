@@ -1,0 +1,188 @@
+"""Data-layer tests: vectorized generator math vs the reference's scipy
+machinery, batch contracts, epoch bookkeeping, and an HDF5 round-trip for
+the queue loader."""
+import numpy as np
+import pytest
+import scipy.signal
+from scipy.ndimage import generic_filter
+
+from wavenet_speech_tpu.data import (
+    Batch,
+    GaussianModelLoader,
+    MuLawQuantizer,
+    PoreModelLoader,
+    RawGaussianModelLoader,
+    RawSignalGenerator,
+    QueueLoader,
+    kmer_ids,
+)
+from wavenet_speech_tpu.data.pore_model import centered_window_filter, triang_window
+
+
+def test_triang_window_matches_scipy():
+    for w in [2, 3, 4, 5, 8]:
+        np.testing.assert_allclose(triang_window(w), scipy.signal.windows.triang(w))
+
+
+def test_centered_filter_matches_generic_filter(rng):
+    """Our vectorized window filter must equal the reference's
+    scipy.ndimage.generic_filter call (utils/pore_model.py:65-72)."""
+    for width in [3, 4, 5]:
+        x = rng.standard_normal(50)
+        win = triang_window(width)
+        ref = generic_filter(x, lambda a: np.dot(a, win), size=width,
+                             mode="constant", cval=0.0)
+        np.testing.assert_allclose(centered_window_filter(x, win), ref,
+                                   rtol=1e-10)
+
+
+def test_kmer_ids_match_reference_generic_filter(rng):
+    """kmer extraction must equal generic_filter + slice (reference
+    gaussian_kmer_model.py:53-59 for trim=2; raw_signal_generator.py:107-108
+    for trim=0)."""
+    seq = rng.integers(1, 5, size=40).astype(np.float64)
+    nts_to_kmer = lambda nts: np.sum((nts - np.ones(nts.shape)) * np.array([256, 64, 16, 4, 1]))
+    full = generic_filter(seq, nts_to_kmer, size=(5,), mode="constant")
+    np.testing.assert_array_equal(kmer_ids(seq.astype(np.int64), trim=2),
+                                  full[4:-4].astype(int))
+    np.testing.assert_array_equal(kmer_ids(seq.astype(np.int64), trim=0),
+                                  full[2:-2].astype(int))
+
+
+def test_mu_law_quantizer_matches_reference_law(rng):
+    num_levels = 256
+    q = MuLawQuantizer(num_levels)
+    x = rng.standard_normal(500) * 30 + 80
+    # reference law, verbatim math (utils/pore_model.py:58-62,78-85)
+    mu = float(num_levels)
+    law = lambda v: np.sign(v) * (np.log(1 + mu * np.abs(v)) / np.log(1 + mu))
+    normalized = (x - np.mean(x)) / (np.amax(x) - np.amin(x))
+    expected = np.digitize(law(normalized), np.linspace(-1, 1, num_levels))
+    np.testing.assert_array_equal(q(x), np.clip(expected, 0, num_levels - 1))
+
+
+def test_pore_loader_batch_contract():
+    ld = PoreModelLoader(max_iters=10, num_epochs=2, epoch_size=5,
+                         batch_size=4, num_levels=64, lengths=(20, 30),
+                         sample_rate=3, seed=0)
+    b = ld.fetch()
+    assert b.signal.shape[0] == 4 and b.signal.shape[2] == 64
+    assert b.signal.shape[1] == b.signal_lengths.max()
+    # one-hot rows within each valid length sum to 1; padding rows are 0
+    for i in range(4):
+        n = b.signal_lengths[i]
+        np.testing.assert_allclose(b.signal[i, :n].sum(-1), 1.0)
+        assert b.signal[i, n:].sum() == 0
+    assert (b.labels >= 0).all() and (b.labels <= 4).all()
+    assert b.flat_labels.shape[0] == b.label_lengths.sum()
+    assert (b.label_lengths >= 20).all() and (b.label_lengths < 30).all()
+
+
+def test_pore_loader_static_shapes_and_stop():
+    ld = PoreModelLoader(max_iters=3, num_epochs=10, epoch_size=100,
+                         batch_size=2, num_levels=16, lengths=(10, 20),
+                         sample_rate=2, pad_to=ld_pad, labels_pad_to=19, seed=0) \
+        if (ld_pad := (20 - 1) * 2) else None
+    shapes = set()
+    n = 0
+    with pytest.raises(StopIteration):
+        while True:
+            b = ld.fetch()
+            shapes.add((b.signal.shape, b.labels.shape))
+            n += 1
+    assert n == 3
+    assert len(shapes) == 1  # static shapes: exactly one compiled signature
+
+
+def test_pore_loader_interleave_and_raw():
+    ld = PoreModelLoader(max_iters=5, num_epochs=1, epoch_size=10,
+                         batch_size=2, lengths=(5, 8), sample_rate=2,
+                         interleave_blanks=True, raw_signal=True, seed=1)
+    b = ld.fetch()
+    assert b.signal.shape[2] == 1  # raw float channel
+    # interleaved: every second label is blank, lengths doubled
+    for i in range(2):
+        lab = b.labels[i, : b.label_lengths[i]]
+        assert (lab[1::2] == 0).all() and (lab[0::2] > 0).all()
+
+
+def test_gaussian_loaders():
+    for cls, C in [(GaussianModelLoader, 32), (RawGaussianModelLoader, 1)]:
+        kw = dict(max_iters=5, num_epochs=1, epoch_size=10, batch_size=3,
+                  upsampling=4, lengths=(15, 20), seed=2)
+        if C != 1:
+            kw["num_levels"] = C
+        ld = cls(**kw)
+        b = ld.fetch()
+        assert b.signal.shape[0] == 3 and b.signal.shape[2] == C
+        # upsampling=4 fixed, trim=2: signal length = (seq_len - 8) * 4
+        np.testing.assert_array_equal(b.signal_lengths,
+                                      (b.label_lengths - 8) * 4)
+        # picoamp stats should be in r9.4 range (~60-120 pA)
+        if C == 1:
+            valid = b.signal[0, : b.signal_lengths[0], 0]
+            assert 50 < valid.mean() < 130
+
+
+def _make_genome_hdf5(path, n=5000, seed=0):
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("contig_0")
+        g.create_dataset("contig", data=rng.integers(1, 5, size=n).astype(np.int32))
+
+
+def test_raw_signal_generator(tmp_path):
+    ref = tmp_path / "genome.hdf5"
+    _make_genome_hdf5(str(ref))
+    gen = RawSignalGenerator(kmer_model=None, reference_hdf=str(ref),
+                             read_length_model=(20, 30), sample_rate=100.0,
+                             batch_size=2, seed=3)
+    b = gen.fetch()
+    assert b.signal.shape[0] == 2 and b.signal.shape[2] == 1
+    assert (b.label_lengths >= 20).all() and (b.label_lengths < 30).all()
+    assert (b.signal_lengths > 0).all()
+    gen.close()
+
+
+def _make_reads_hdf5(path, num_reads=3, events=400, seed=0):
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for r in range(num_reads):
+            g = f.create_group(f"read_{r}")
+            # variable-length per-event quantized sample chunks
+            import h5py as h5
+
+            dt = h5.vlen_dtype(np.dtype("int64"))
+            chunks = [rng.integers(0, 256, size=rng.integers(3, 8))
+                      for _ in range(events)]
+            ds = g.create_dataset("quantized", (events,), dtype=dt)
+            for i, c in enumerate(chunks):
+                ds[i] = c
+            raw = g.create_group("raw")
+            raw.create_dataset("positions",
+                               data=np.arange(events, dtype=np.int64) + 7)
+            g.create_dataset("reference",
+                             data=rng.integers(1, 5, size=events + 10).astype(np.int32))
+
+
+def test_queue_loader_roundtrip(tmp_path):
+    reads = tmp_path / "reads.hdf5"
+    _make_reads_hdf5(str(reads))
+    ld = QueueLoader(str(reads), num_workers=1, batch_size=2,
+                     sample_lengths=(20, 30), num_levels=256, seed=4,
+                     max_iters=50, queue_size=4)
+    for split in ["train", "valid"]:
+        b = ld.dequeue(from_queue=split, timeout=5.0)
+        assert isinstance(b, Batch)
+        assert b.signal.shape[0] == 2 and b.signal.shape[2] == 256
+        # base seqs should be event-interval + 4 (5mer adjustment)
+        assert (b.label_lengths >= 24).all()
+    ld.close()
+    # after close + drain, dequeue raises StopIteration
+    with pytest.raises(StopIteration):
+        while True:
+            ld_batch = ld.dequeue(timeout=0.2)

@@ -1,0 +1,119 @@
+"""Training-layer tests: XE loss parity vs the reference's per-timestep
+torch loop, optimizer facade, and the end-to-end overfit slice (the
+framework's v0 milestone: synthetic pore batch -> jit joint train step ->
+greedy decode -> per-char CTC < 0.3, mirroring
+legacy_code/wavenet_ctc_artificial.py:144-193)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+
+from wavenet_speech_tpu.data import PoreModelLoader, batch_to_device
+from wavenet_speech_tpu.decoding import greedy_ctc_decode, labels2strings, ctc_collapse
+from wavenet_speech_tpu.models import WaveNet, WaveNetClassifier
+from wavenet_speech_tpu.training import (
+    JointLoss,
+    Optimizer,
+    ReduceLROnPlateau,
+    TrainState,
+    build_optimizer,
+    make_ctc_train_step,
+    make_joint_train_step,
+    next_signal_xe_loss,
+)
+
+
+def test_xe_loss_matches_reference_loop(rng):
+    """Vectorized XE must equal the reference's python-loop XE
+    (Loss.py:38-43)."""
+    B, L, C = 3, 20, 8
+    signal = np.zeros((B, L, C), np.float32)
+    levels = rng.integers(0, C, size=(B, L))
+    signal[np.arange(B)[:, None], np.arange(L)[None, :], levels] = 1.0
+    pred = rng.standard_normal((B, L, C)).astype(np.float32)
+
+    ours = float(next_signal_xe_loss(jnp.asarray(signal), jnp.asarray(pred)))
+
+    # reference: dense = argmax(signal[:,:,1:], dim=1) on NCL; loop over t
+    xe_fn = nn.CrossEntropyLoss()
+    sig_t = torch.from_numpy(signal.transpose(0, 2, 1))
+    pred_t = torch.from_numpy(pred.transpose(0, 2, 1))
+    _, dense = torch.max(sig_t[:, :, 1:], dim=1)
+    xe = 0.0
+    for t in range(pred_t.size(2) - 1):
+        xe = xe + xe_fn(pred_t[:, :, t], dense[:, t])
+    expected = float(xe / sig_t.size(2))
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+def test_build_optimizer_types():
+    for t in ["adam", "adagrad", "adamax", "rmsprop", "sgd", "adamw"]:
+        tx = build_optimizer(t, 1e-3, weight_decay=1e-4, max_grad_norm=1.0)
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+        assert updates["w"].shape == (3,)
+
+
+def test_reduce_lr_on_plateau():
+    opt = Optimizer("adam", 1e-2)
+    sched = ReduceLROnPlateau(opt, factor=0.5, patience=1)
+    sched.step(1.0)
+    sched.step(1.1)
+    sched.step(1.2)  # 2 bad steps > patience -> reduce
+    assert abs(sched.current_lr - 5e-3) < 1e-12
+    assert abs(opt._lr_scale - 0.5) < 1e-12
+
+
+def test_ctc_collapse_and_strings():
+    labels = np.array([[1, 1, 0, 2, 2, 0, 0, 3],
+                       [0, 4, 4, 4, 0, 1, 0, 0]])
+    collapsed = ctc_collapse(labels)
+    assert labels2strings(collapsed) == ["AGC", "TA"]
+    # reference labels2strings on raw labels (no collapse): blanks drop only
+    assert labels2strings(labels)[0] == "AAGGC"
+
+
+def test_e2e_overfit_joint_wavenet_ctc():
+    """The v0 end-to-end slice (SURVEY.md §7 item 5): tiny joint WaveNet-CTC
+    overfit on a fixed synthetic pore batch; success = per-char CTC < 0.3
+    (reference early-stop criterion) and correct greedy decode."""
+    levels = 32
+    loader = PoreModelLoader(max_iters=10 ** 9, num_epochs=10 ** 6,
+                             epoch_size=100, batch_size=2, num_levels=levels,
+                             lengths=(8, 12), sample_rate=2,
+                             sample_noise=0.5, seed=7)
+    batch = batch_to_device(loader.fetch())
+
+    C = 32
+    wn_layers = tuple((C, C, 2, d) for d in (1, 2, 4))
+    base = WaveNet(levels, 2, wn_layers, levels, softmax=False)
+    clf_layers = tuple((C, C, 2, d) for d in (1, 2, 4)) * 2
+    clf = WaveNetClassifier(levels, 5, clf_layers, C, pool_kernel_size=1,
+                            softmax=False)
+
+    key = jax.random.PRNGKey(0)
+    params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
+    tx = build_optimizer("adam", 2e-3)
+    state = TrainState.create(params, tx)
+    step = make_joint_train_step(base, clf, tx, JointLoss("joint"),
+                                 donate=False)
+
+    per_char = None
+    for i in range(400):
+        state, metrics = step(state, batch)
+        per_char = float(metrics["ctc_loss"]) * batch["signal"].shape[1] / \
+            float(batch["label_lengths"].sum())
+        if per_char < 0.25:
+            break
+    assert per_char is not None and per_char < 0.3, f"per-char CTC {per_char}"
+
+    # greedy decode must reproduce the target sequences exactly (bit-match
+    # fixture, BASELINE north star)
+    logits = clf.apply(state.params["ctc"], batch["signal"])
+    decoded = greedy_ctc_decode(np.asarray(logits))
+    labels = np.asarray(batch["labels"])
+    lens = np.asarray(batch["label_lengths"])
+    expected = labels2strings([labels[b, : lens[b]] for b in range(2)])
+    assert decoded == expected

@@ -1,0 +1,100 @@
+"""Optimizers on optax (replaces reference Optimizer.py:5-39 and the
+driver-script optimizer zoo: Adam/Adagrad (Optimizer.py:22-25), Adamax
+(pretrain_tnt.py:164-170), RMSprop (tests/test_classifier.py), plus the
+reference's unsupported-but-declared weight_decay / max_grad_norm config
+knobs (configs/ecoli_testrun.json) and ReduceLROnPlateau
+(pretrain_rnn.py:152-158)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_optimizer(optim_type: str, learning_rate: float,
+                    weight_decay: Optional[float] = None,
+                    max_grad_norm: Optional[float] = None) -> optax.GradientTransformation:
+    """Build an optax chain from the reference's config vocabulary."""
+    optim_type = optim_type.lower()
+    if optim_type == "adam":
+        tx = optax.adam(learning_rate)
+    elif optim_type == "adamw":
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay or 0.0)
+        weight_decay = None  # already applied
+    elif optim_type == "adagrad":
+        tx = optax.adagrad(learning_rate)
+    elif optim_type == "adamax":
+        tx = optax.adamax(learning_rate)
+    elif optim_type == "rmsprop":
+        tx = optax.rmsprop(learning_rate)
+    elif optim_type == "sgd":
+        tx = optax.sgd(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer type: {optim_type}")
+
+    parts = []
+    if max_grad_norm:
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(tx)
+    return optax.chain(*parts)
+
+
+@dataclasses.dataclass
+class Optimizer:
+    """Stateful facade mirroring the reference Optimizer class API
+    (step/zero_grad/adjust_lr), including a working adjust_lr via the LR
+    multiplier (the reference left it as a stub, Optimizer.py:27-31)."""
+
+    optim_type: str
+    lr: float
+    weight_decay: Optional[float] = None
+    max_grad_norm: Optional[float] = None
+
+    def __post_init__(self):
+        self.tx = build_optimizer(self.optim_type, self.lr,
+                                  self.weight_decay, self.max_grad_norm)
+        self._lr_scale = 1.0
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def update(self, grads, opt_state, params):
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        if self._lr_scale != 1.0:
+            updates = jax.tree_util.tree_map(
+                lambda u: u * self._lr_scale, updates)
+        return updates, opt_state
+
+    def adjust_lr(self, new_lr: float):
+        self._lr_scale = new_lr / self.lr
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch semantics subset used by
+    pretrain_rnn.py:158: mode=min, factor, patience)."""
+
+    def __init__(self, optimizer: Optimizer, factor: float = 0.1,
+                 patience: int = 10, min_lr: float = 0.0):
+        self.optimizer = optimizer
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_steps = 0
+        self.current_lr = optimizer.lr
+
+    def step(self, metric: float):
+        if metric < self.best:
+            self.best = metric
+            self.bad_steps = 0
+            return
+        self.bad_steps += 1
+        if self.bad_steps > self.patience:
+            self.current_lr = max(self.current_lr * self.factor, self.min_lr)
+            self.optimizer.adjust_lr(self.current_lr)
+            self.bad_steps = 0

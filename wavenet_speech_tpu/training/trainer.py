@@ -1,0 +1,124 @@
+"""Train state and jitted train/eval steps.
+
+Replaces the reference's five divergent driver loops (wavenet_speech.py,
+train_tnt.py, pretrain_tnt.py, pretrain_rnn.py, legacy_code/train.py) with
+one functional core: a TrainState pytree and step factories that close over
+the model(s) and loss, and compile to a single XLA program per config.
+
+Two step shapes cover every reference driver:
+  * make_joint_train_step: WaveNet base + WaveNetClassifier CTC head with
+    joint XE+CTC loss (wavenet_speech.py:41-101, legacy_code/train.py:24-61)
+  * make_ctc_train_step: single CTC network (RawCTCNet) with CTC loss
+    (pretrain_tnt.py:86-225, legacy_code/run_raw_ctc.py)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wavenet_speech_tpu.training.loss import JointLoss
+from wavenet_speech_tpu.ops.ctc import ctc_loss_per_seq
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Carryable training state: params pytree(s), optimizer state, step."""
+
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_joint_train_step(base_model, ctc_model, tx,
+                          loss: Optional[JointLoss] = None,
+                          donate: bool = True):
+    """Jitted joint (XE + CTC) step over a {"base":..., "ctc":...} param
+    tree. batch is the dict pytree from data/prefetch.batch_to_device.
+
+    Returns step_fn(state, batch) -> (state, metrics dict)."""
+    loss = loss or JointLoss("joint")
+
+    def loss_fn(params, batch):
+        signal = batch["signal"]
+        signal_pred = base_model.apply(params["base"], signal)
+        logits = ctc_model.apply(params["ctc"], signal)
+        xe, ctc = loss.calculate(signal, signal_pred, logits,
+                                 batch["labels"], batch["label_lengths"])
+        total = ctc if xe is None else loss.joint_weight * xe + ctc
+        return total, {"xe_loss": (jnp.zeros(()) if xe is None else xe),
+                       "ctc_loss": ctc}
+
+    def step_fn(state: TrainState, batch):
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, total_loss=total,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_ctc_train_step(model, tx, average_per_logit: bool = True,
+                        use_logit_lengths: bool = False,
+                        length_fn: Optional[Callable[[int], int]] = None,
+                        donate: bool = True):
+    """Jitted CTC-only step for a single encoder (e.g. RawCTCNet).
+
+    average_per_logit: divide the summed CTC by T (reference per-logit
+    average, pretrain_tnt.py:159-162).
+    use_logit_lengths: derive per-sequence logit lengths from the batch's
+    signal_lengths via length_fn (the reference always uses full length)."""
+
+    def loss_fn(params, batch):
+        logits = model.apply(params, batch["signal"])
+        B, T = logits.shape[0], logits.shape[1]
+        if use_logit_lengths and length_fn is not None:
+            logit_lengths = length_fn(batch["signal_lengths"])
+        else:
+            logit_lengths = jnp.full((B,), T, jnp.int32)
+        ctc = jnp.sum(ctc_loss_per_seq(logits, logit_lengths,
+                                       batch["labels"],
+                                       batch["label_lengths"]))
+        if average_per_logit:
+            ctc = ctc / T
+        return ctc, {"ctc_loss": ctc}
+
+    def step_fn(state: TrainState, batch):
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, total_loss=total,
+                       grad_norm=optax.global_norm(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(base_model, ctc_model, loss: Optional[JointLoss] = None):
+    """Jitted validation step returning the same metrics without updates."""
+    loss = loss or JointLoss("joint")
+
+    def eval_fn(params, batch):
+        signal = batch["signal"]
+        signal_pred = base_model.apply(params["base"], signal)
+        logits = ctc_model.apply(params["ctc"], signal)
+        xe, ctc = loss.calculate(signal, signal_pred, logits,
+                                 batch["labels"], batch["label_lengths"])
+        return {"xe_loss": (jnp.zeros(()) if xe is None else xe),
+                "ctc_loss": ctc,
+                "total_loss": ctc if xe is None else loss.joint_weight * xe + ctc}
+
+    return jax.jit(eval_fn)
