@@ -1,0 +1,86 @@
+"""Benchmark: joint WaveNet-CTC training throughput on one TPU chip.
+
+Reproduces the reference's measured workload (CTC Overfit.ipynb cell 19:
+30-block WaveNet [dils 1..512 x3, k=2, 256ch] + 18-block classifier
+[dils 1..32 x3, pool 4] on a 4505-sample one-hot read, joint XE+CTC loss,
+34.46 s/iteration on CPU == 130.7 audio-samples/sec) and measures the same
+training step here.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 4505.0 / 34.46  # reference CPU: 130.7
+
+
+def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
+         steps: int = 10, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_speech_tpu.models import WaveNet, WaveNetClassifier
+    from wavenet_speech_tpu.training import (
+        JointLoss,
+        TrainState,
+        build_optimizer,
+        make_joint_train_step,
+    )
+
+    wavenet_dils = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512] * 3
+    classifier_dils = [1, 2, 4, 8, 16, 32] * 3
+    base = WaveNet(num_levels, 2,
+                   tuple((num_levels, num_levels, 2, d) for d in wavenet_dils),
+                   num_levels, softmax=False, remat=True)
+    clf = WaveNetClassifier(num_levels, 5,
+                            tuple((num_levels, num_levels, 2, d)
+                                  for d in classifier_dils),
+                            256, pool_kernel_size=4, softmax=False, remat=True)
+
+    key = jax.random.PRNGKey(0)
+    params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
+    tx = build_optimizer("adagrad", 3e-5)  # reference optimizer (cell 15)
+    state = TrainState.create(params, tx)
+    step = make_joint_train_step(base, clf, tx, JointLoss("joint"))
+
+    rng = np.random.default_rng(0)
+    levels = rng.integers(0, num_levels, size=(batch_size, signal_len))
+    signal = np.zeros((batch_size, signal_len, num_levels), np.float32)
+    signal[np.arange(batch_size)[:, None],
+           np.arange(signal_len)[None, :], levels] = 1.0
+    S = 429  # reference target length
+    batch = {
+        "signal": jnp.asarray(signal),
+        "labels": jnp.asarray(rng.integers(1, 5, size=(batch_size, S)),
+                              dtype=jnp.int32),
+        "label_lengths": jnp.full((batch_size,), S, jnp.int32),
+        "signal_lengths": jnp.full((batch_size,), signal_len, jnp.int32),
+    }
+
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    float(metrics["total_loss"])  # full sync (value readback)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    final_loss = float(metrics["total_loss"])  # forces the whole chain
+    dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(final_loss)
+
+    samples_per_sec = batch_size * signal_len / dt
+    print(json.dumps({
+        "metric": "audio-samples/sec/chip (joint WaveNet-CTC train step, "
+                  f"30+18 blocks, 256ch, L={signal_len}, B={batch_size})",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,7 @@ class WaveNetClassifier(Module):
     input_kernel_size: int = 2
     input_dilation: int = 1
     softmax: bool = True
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -50,7 +51,8 @@ class WaveNetClassifier(Module):
                              causal=False)
 
     def _stack(self) -> SkipSumStack:
-        return SkipSumStack(self.layers, self.out_dim, causal=False)
+        return SkipSumStack(self.layers, self.out_dim, causal=False,
+                            remat=self.remat)
 
     def init(self, key) -> Params:
         kib, kibn, ks, k1, k2 = rngs(key, 5)

@@ -44,6 +44,7 @@ class RawCTCNet(Module):
     positions: bool = False
     softmax: bool = True
     causal: bool = False
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -56,6 +57,7 @@ class RawCTCNet(Module):
 
     def _stack(self) -> SkipSumStack:
         return SkipSumStack(self.layers, self.out_dim, causal=self.causal,
+                            remat=self.remat,
                             b_init=_noisy_zeros,
                             bottleneck_w_init=_noisy_eye,
                             bottleneck_b_init=_noisy_zeros)

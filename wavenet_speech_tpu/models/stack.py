@@ -51,6 +51,7 @@ class SkipSumStack(Module):
     bottleneck_w_init: object = staticmethod(init.eye)
     bottleneck_b_init: object = staticmethod(init.zeros)
     min_scan_repeats: int = 2  # use lax.scan when the cycle repeats >= this
+    remat: bool = False  # rematerialize each cycle in backward (HBM for FLOPs)
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -124,5 +125,9 @@ class SkipSumStack(Module):
                 out, sk = self._apply_one(cycle_params[f"b{j}"], spec, out, sk)
             return (out, sk), None
 
+        if self.remat:
+            # trade FLOPs for HBM: only cycle-boundary activations are kept
+            # live for the backward pass (jax.checkpoint around each cycle)
+            cycle_step = jax.checkpoint(cycle_step)
         (out, skips), _ = lax.scan(cycle_step, (x, skips), params["cycle"])
         return out, skips

@@ -33,6 +33,7 @@ class WaveNet(Module):
     layers: Tuple[LayerSpec, ...]
     out_dim: int
     softmax: bool = True
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -48,7 +49,8 @@ class WaveNet(Module):
         return rf
 
     def _stack(self) -> SkipSumStack:
-        return SkipSumStack(self.layers, self.out_dim, causal=True)
+        return SkipSumStack(self.layers, self.out_dim, causal=True,
+                            remat=self.remat)
 
     def _entry(self) -> CausalConv1d:
         return CausalConv1d(self.in_dim, self.layers[0][0], self.entry_kwidth)

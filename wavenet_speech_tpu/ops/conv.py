@@ -62,22 +62,40 @@ def _conv1d(x, w, *, dilation: int, pad_left: int, pad_right: int,
 
 def causal_conv1d(x, w, b=None, *, dilation: int = 1, precision=None):
     """Length-preserving causal dilated conv. x: (B, L, C_in),
-    w: (K, C_in, C_out), b: (C_out,)."""
+    w: (K, C_in, C_out), b: (C_out,).
+
+    Under a sequence-sharded shard_map (parallel/halo.seq_axis), the left
+    padding is replaced by a (k-1)*d halo pulled from the neighbor shard."""
+    from wavenet_speech_tpu.parallel.halo import current_seq_axis, halo_pad
+
     k = w.shape[0]
-    out = _conv1d(x, w, dilation=dilation, pad_left=(k - 1) * dilation,
-                  pad_right=0, precision=precision)
+    pad = (k - 1) * dilation
+    axis = current_seq_axis()
+    if axis is not None and pad > 0:
+        x = halo_pad(x, pad, 0, axis)
+        pad = 0
+    out = _conv1d(x, w, dilation=dilation, pad_left=pad, pad_right=0,
+                  precision=precision)
     if b is not None:
         out = out + b
     return out
 
 
 def noncausal_conv1d(x, w, b=None, *, dilation: int = 1, precision=None):
-    """Length-preserving auto-padded (non-causal) dilated conv."""
+    """Length-preserving auto-padded (non-causal) dilated conv; halo
+    exchange on both sides under a sequence-sharded shard_map."""
+    from wavenet_speech_tpu.parallel.halo import current_seq_axis, halo_pad
+
     k = w.shape[0]
     total = (k - 1) * dilation
     left = autopad(k, dilation)
-    out = _conv1d(x, w, dilation=dilation, pad_left=left,
-                  pad_right=total - left, precision=precision)
+    right = total - left
+    axis = current_seq_axis()
+    if axis is not None and total > 0:
+        x = halo_pad(x, left, right, axis)
+        left = right = 0
+    out = _conv1d(x, w, dilation=dilation, pad_left=left, pad_right=right,
+                  precision=precision)
     if b is not None:
         out = out + b
     return out
