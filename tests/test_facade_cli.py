@@ -1,0 +1,147 @@
+"""Facade + CLI + checkpoint tests: the reference's intended top-level API
+(Model/Dataset/Decoder) working end-to-end, the config schema round-trip,
+and a full CLI train run with resume."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavenet_speech_tpu.facade import Dataset, Decoder, Model
+from wavenet_speech_tpu.training import TrainState, build_optimizer
+from wavenet_speech_tpu.training.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from wavenet_speech_tpu.utils.config import (
+    base_model_cfg,
+    classifier_cfg,
+    json_to_config,
+    layers_from_cfg,
+)
+
+
+def test_config_schema_both_styles():
+    # ecoli_testrun style: kernel + dilations
+    cfg = {"model": {"base": {"signal_dim": 16, "entry_kwidth": 2,
+                              "kernel": 2, "dilations": [1, 2, 4]},
+                     "classifier": {"num_labels": 5, "kernel": 2,
+                                    "dilations": [1, 2], "downsample": 3,
+                                    "out_dim": 16}}}
+    b = base_model_cfg(cfg)
+    assert b["layers"] == ((16, 16, 2, 1), (16, 16, 2, 2), (16, 16, 2, 4))
+    c = classifier_cfg(cfg)
+    assert c["downsample"] == 3 and c["num_labels"] == 5
+    # example.json style: explicit layers
+    cfg2 = {"model": {"base": {"signal_dim": 8,
+                               "layers": [[8, 8, 2, 1], [8, 8, 2, 2]]}}}
+    assert base_model_cfg(cfg2)["layers"] == ((8, 8, 2, 1), (8, 8, 2, 2))
+
+
+def test_model_facade_wavenet_ctc():
+    cfg = {"model": {"base": {"signal_dim": 16, "kernel": 2,
+                              "dilations": [1, 2]},
+                     "classifier": {"num_labels": 5, "kernel": 2,
+                                    "dilations": [1, 2], "downsample": 2,
+                                    "out_dim": 16}}}
+    m = Model("wavenet-ctc", cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 32, 16))
+    base_out, logits = m.predict(params, x)
+    assert base_out.shape == (2, 32, 16)
+    assert logits.shape == (2, 16, 5)
+
+
+def test_model_facade_raw_ctcnet_small():
+    cfg = {"model": {"raw": {"num_features": 8, "feature_kwidth": 3,
+                             "num_dilation_blocks": 1,
+                             "dilations": [1, 2], "out_dim": 8,
+                             "remat": False}}}
+    m = Model("raw-ctcnet", cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 20, 1))
+    base_out, logits = m.predict(params, x)
+    assert logits.shape == (2, 22, 5)  # L + fk - 1
+
+
+def test_dataset_facade_dispatch():
+    for datatype, C in [("pore", 16), ("raw-pore", 1), ("gauss", 16),
+                        ("raw-gauss", 1)]:
+        ds = Dataset(datatype, max_iters=3, batch_size=2, num_levels=16,
+                     min_length=12, max_length=15, seed=0)
+        b = ds.fetch()
+        assert b.signal.shape[0] == 2 and b.signal.shape[2] == C
+        ds.close()
+    with pytest.raises(NotImplementedError):
+        Dataset("raw-hdf5")
+
+
+def test_decoder_facade():
+    logits = np.random.default_rng(0).standard_normal((2, 10, 5))
+    probas, strs = Decoder("argmax").decode(logits)
+    assert probas is None and len(strs) == 2
+    scores, strs_b = Decoder("beam", beam_width=4).decode(logits)
+    assert len(scores) == 2 and len(strs_b) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from wavenet_speech_tpu.models import WaveNet
+
+    net = WaveNet(8, 2, ((8, 8, 2, 1), (8, 8, 2, 2)), 8, softmax=False)
+    tx = build_optimizer("adam", 1e-3)
+    params = net.init(jax.random.PRNGKey(0))
+    state = TrainState.create(params, tx)
+    state = TrainState(state.params, state.opt_state,
+                       jnp.asarray(42, jnp.int32))
+    ckpt_dir = str(tmp_path / "ckpts")
+    saved = save_checkpoint(ckpt_dir, state)
+    assert saved == 42
+    assert latest_step(ckpt_dir) == 42
+
+    fresh = TrainState.create(net.init(jax.random.PRNGKey(1)), tx)
+    restored = restore_checkpoint(ckpt_dir, fresh)
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_train_and_resume(tmp_path):
+    """Full CLI run on the overfit config (CPU), then resume from the saved
+    checkpoint — the run dir must follow the reference layout
+    (ckpts/ + logs/training.log, utils/logging.py:20-31)."""
+    cfg = json_to_config(os.path.join(os.path.dirname(__file__), "..",
+                                      "configs", "overfit_pore.json"))
+    run_dir = str(tmp_path / "run")
+    cfg["training"]["save_dir"] = run_dir
+    cfg["training"]["max_iters"] = 60
+    cfg["training"]["print_every"] = 10
+    cfg["training"]["save_every"] = 50
+    cfg["training"].pop("early_stop_vloss", None)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    from wavenet_speech_tpu.cli import main
+
+    assert main(["train", cfg_path]) == 0
+    assert os.path.exists(os.path.join(run_dir, "logs", "training.log"))
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    step = latest_step(os.path.join(run_dir, "ckpts/"))
+    assert step == 60
+
+    # resume: another 60 iters continue from step 60
+    assert main(["train", cfg_path]) == 0
+    assert latest_step(os.path.join(run_dir, "ckpts/")) == 120
+
+    # evaluate from the checkpoint
+    cfg["training"]["print_samples"] = True
+    cfg["training"]["eval_batches"] = 2
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    assert main(["evaluate", cfg_path]) == 0

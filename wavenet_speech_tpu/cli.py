@@ -1,0 +1,207 @@
+"""Config-driven trainer/evaluator CLI — the single entry point replacing
+the reference's five divergent driver scripts (wavenet_speech.py:115-121 is
+the interface mirrored here: `wavenet-speech-tpu {train,evaluate} cfg.json`).
+
+Training semantics follow wavenet_speech.py:41-101: epoch loop with
+per-epoch validation, early stopping on validation-loss threshold, periodic
+checkpointing, crash-safe save in `finally`.  New vs reference: jitted
+steps, device prefetch, samples/sec metrics, full-state (params+opt+step)
+resumable checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_from_config(cfg):
+    import jax
+
+    from wavenet_speech_tpu.facade import Dataset, Model
+    from wavenet_speech_tpu.training import (
+        JointLoss,
+        TrainState,
+        build_optimizer,
+        make_joint_train_step,
+        make_eval_step,
+    )
+    from wavenet_speech_tpu.utils.config import training_cfg
+
+    t = training_cfg(cfg)
+    datatype = t.get("datatype", "pore" if t["training_data"] is None else "hdf5")
+    dataset = Dataset(
+        datatype, dataset=t["training_data"],
+        max_iters=t["max_iters"], num_epochs=t["num_epochs"],
+        epoch_size=t["epoch_size"], batch_size=t["batch_size"],
+        num_levels=cfg.get("model", {}).get("base", {}).get("signal_dim", 256),
+        min_length=t["min_sample_length"], max_length=t["max_sample_length"],
+        nworkers=t["nworkers"], seed=t.get("seed"),
+    )
+
+    model_type = cfg.get("model", {}).get("type", "wavenet-ctc")
+    model = Model(model_type, cfg)
+    params = model.init(jax.random.PRNGKey(t.get("seed") or 0))
+
+    opt = t["optim"]
+    tx = build_optimizer(opt["type"], opt["learning_rate"],
+                         weight_decay=opt.get("wd") or None,
+                         max_grad_norm=opt.get("max_grad_norm"))
+    state = TrainState.create(params, tx)
+
+    loss_choice = t.get("loss", "joint" if model_type == "wavenet-ctc" else "ctc")
+    loss = JointLoss(loss_choice)
+    step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
+                                 donate=False)
+    eval_step = make_eval_step(model.model_base, model.model_ctc, loss)
+    return dataset, model, state, step, eval_step, t
+
+
+def train(cfg) -> int:
+    from wavenet_speech_tpu.data.prefetch import batch_to_device
+    from wavenet_speech_tpu.training.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from wavenet_speech_tpu.utils.config import config_to_json
+    from wavenet_speech_tpu.utils.run_logging import Logger, MovingAverageMeter, Throughput
+
+    dataset, model, state, step_fn, eval_fn, t = build_from_config(cfg)
+    logger = Logger(t["save_dir"])
+    config_to_json(cfg, f"{t['save_dir'].rstrip('/')}/config.json")
+
+    if t.get("restore"):
+        state = restore_checkpoint(t["restore"], state)
+        logger.message(f"restored checkpoint from {t['restore']} "
+                       f"@ step {int(state.step)}")
+    elif latest_step(logger.ckpt_dir) is not None:
+        state = restore_checkpoint(logger.ckpt_dir, state)
+        logger.message(f"resumed from {logger.ckpt_dir} @ step {int(state.step)}")
+
+    meter = MovingAverageMeter(5)
+    tput = Throughput()
+    best_vloss = float("inf")
+    stop_threshold = t.get("early_stop_vloss")
+    step_idx = int(state.step)
+    try:
+        while True:
+            try:
+                batch = dataset.fetch("train")
+            except StopIteration:
+                break
+            dev = batch_to_device(batch)
+            state, metrics = step_fn(state, dev)
+            step_idx = int(state.step)
+            loss_val = float(metrics["total_loss"])
+            meter.add(loss_val)
+            tput.tick(int(np.prod(batch.signal.shape[:2])))
+
+            if step_idx % t["print_every"] == 0:
+                vloss = float("nan")
+                try:
+                    vbatch = dataset.fetch("valid")
+                    vloss = float(eval_fn(state.params,
+                                          batch_to_device(vbatch))["total_loss"])
+                except StopIteration:
+                    pass
+                logger.log("loss", step_idx, meter.value, vloss)
+                logger.metrics(step_idx, train_loss=meter.value,
+                               valid_loss=vloss,
+                               ctc_loss=float(metrics["ctc_loss"]),
+                               samples_per_sec=tput.samples_per_sec)
+                print(f"step {step_idx}: loss {meter.value:.4f} "
+                      f"(valid {vloss:.4f}) "
+                      f"[{(tput.samples_per_sec or 0):.0f} samples/s]")
+                if not np.isnan(vloss) and vloss < best_vloss:
+                    best_vloss = vloss
+                if stop_threshold is not None and meter.value < stop_threshold:
+                    logger.message(f"early stop at step {step_idx}: "
+                                   f"loss {meter.value:.4f} < {stop_threshold}")
+                    break
+            if step_idx % t["save_every"] == 0:
+                save_checkpoint(logger.ckpt_dir, state)
+                logger.message(f"checkpoint @ step {step_idx}")
+    except KeyboardInterrupt:
+        logger.message("interrupted; saving")
+    finally:
+        # crash-safe save-on-exit (reference wavenet_speech.py:96-101)
+        save_checkpoint(logger.ckpt_dir, state)
+        logger.message(f"final checkpoint @ step {step_idx}")
+        dataset.close()
+        logger.close()
+    return 0
+
+
+def evaluate(cfg) -> int:
+    from wavenet_speech_tpu.data.prefetch import batch_to_device
+    from wavenet_speech_tpu.facade import Decoder
+    from wavenet_speech_tpu.training.checkpoint import restore_checkpoint
+    from wavenet_speech_tpu.decoding import labels2strings
+    from wavenet_speech_tpu.utils.run_logging import Logger
+
+    dataset, model, state, _, eval_fn, t = build_from_config(cfg)
+    ckpt = t.get("restore") or f"{t['save_dir'].rstrip('/')}/ckpts/"
+    state = restore_checkpoint(ckpt, state)
+    decoder = Decoder(t.get("decoder", "argmax"),
+                      beam_width=t.get("beam_width", 7))
+
+    n_batches = t.get("eval_batches", 10)
+    losses = []
+    for i in range(n_batches):
+        try:
+            batch = dataset.fetch("valid" if dataset.datatype in
+                                  Dataset_queue_types() else "train")
+        except StopIteration:
+            break
+        dev = batch_to_device(batch)
+        m = eval_fn(state.params, dev)
+        losses.append(float(m["total_loss"]))
+        if t.get("print_samples") and i == 0:
+            _, logits = model.predict(state.params, dev["signal"])
+            _, decoded = decoder.decode(np.asarray(logits))
+            targets = labels2strings(
+                [batch.labels[b, : batch.label_lengths[b]]
+                 for b in range(batch.labels.shape[0])])
+            for d, tg in list(zip(decoded, targets))[:4]:
+                print(f"  pred: {d}\n  true: {tg}")
+    print(f"eval loss over {len(losses)} batches: "
+          f"{np.mean(losses) if losses else float('nan'):.4f}")
+    dataset.close()
+    return 0
+
+
+def Dataset_queue_types():
+    from wavenet_speech_tpu.facade import Dataset
+
+    return Dataset.QUEUE_TYPES
+
+
+def main(argv: Optional[list] = None) -> int:
+    from wavenet_speech_tpu.utils.config import json_to_config
+
+    ap = argparse.ArgumentParser(
+        prog="wavenet-speech-tpu",
+        description="TPU-native WaveNet-CTC trainer/evaluator")
+    ap.add_argument("command", choices=["train", "evaluate"])
+    ap.add_argument("config", help="path to JSON config")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = json_to_config(args.config)
+    if args.command == "train":
+        return train(cfg)
+    return evaluate(cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Sharding-aware checkpointing on Orbax.
+
+Upgrades the reference's per-submodel torch.save of state_dicts
+(Model.py:66-75, utils/logging.py:51-59) to full-state checkpoints:
+params + optimizer state + step are saved together, so resume continues the
+schedule instead of restarting it (the reference never checkpointed
+optimizer state — SURVEY.md §5). Orbax handles distributed arrays natively,
+so the same API works for sharded params on a mesh.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from wavenet_speech_tpu.training.trainer import TrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState,
+                    step: Optional[int] = None,
+                    max_to_keep: Optional[int] = None) -> int:
+    """Save a TrainState under ckpt_dir/<step>/ ; returns the step saved."""
+    step = int(state.step) if step is None else int(step)
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": np.asarray(step, np.int32)}))
+    mgr.wait_until_finished()
+    mgr.close()
+    return step
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    s = mgr.latest_step()
+    mgr.close()
+    return s
+
+
+def restore_checkpoint(ckpt_dir: str, state_like: TrainState,
+                       step: Optional[int] = None) -> TrainState:
+    """Restore into the structure (and shardings) of `state_like`.
+
+    `state_like` is a template TrainState (e.g. freshly initialized, possibly
+    with sharded arrays) — restored arrays adopt its dtypes/shardings."""
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    template = {"params": state_like.params, "opt_state": state_like.opt_state,
+                "step": np.asarray(0, np.int32)}
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=jax.numpy.asarray(restored["step"]))
+
+
+def save_params(path: str, params: Any) -> None:
+    """Single-pytree save (the reference's per-submodel .pt file analogue,
+    for export/interop)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_params(path: str, params_like: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.abspath(path), params_like)
+    ckptr.close()
+    return out
