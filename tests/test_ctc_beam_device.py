@@ -1,0 +1,69 @@
+"""On-device CTC prefix beam search vs the exhaustively-validated host
+reference (decoding/prefix_beam.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavenet_speech_tpu.decoding.ctc_beam_device import ctc_beam_search_jax
+from wavenet_speech_tpu.decoding.prefix_beam import prefix_beam_search
+
+
+def _host_hyps(logits, beam_width, length=None):
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    return prefix_beam_search(lp.astype(np.float64), beam_width,
+                              length=length)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("W", [4, 7])
+def test_device_beam_matches_host(seed, W):
+    rng = np.random.default_rng(seed)
+    T, C = 14, 5
+    logits = rng.standard_normal((1, T, C)).astype(np.float32)
+    prefixes, plens, scores = ctc_beam_search_jax(logits, beam_width=W)
+    host = _host_hyps(logits[0], W)
+
+    dev_best = tuple(int(x) for x in np.asarray(prefixes[0, 0])[: int(plens[0, 0])])
+    assert dev_best == tuple(host[0][0]), (dev_best, host[0][0])
+    np.testing.assert_allclose(float(scores[0, 0]), host[0][1], rtol=1e-4)
+
+    # the full surviving beam should agree on prefix ranking (modulo exact
+    # ties); compare the top-3 sets
+    dev_set = {tuple(int(x) for x in np.asarray(prefixes[0, k])[: int(plens[0, k])])
+               for k in range(3)}
+    host_set = {tuple(h[0]) for h in host[:3]}
+    assert dev_set == host_set
+
+
+def test_batched_and_lengths():
+    rng = np.random.default_rng(9)
+    B, T, C, W = 3, 10, 4, 5
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    lengths = np.array([10, 6, 3], dtype=np.int32)
+    prefixes, plens, scores = ctc_beam_search_jax(logits, lengths,
+                                                  beam_width=W)
+    for b in range(B):
+        host = _host_hyps(logits[b], W, length=int(lengths[b]))
+        dev_best = tuple(int(x) for x in
+                         np.asarray(prefixes[b, 0])[: int(plens[b, 0])])
+        assert dev_best == tuple(host[0][0])
+        np.testing.assert_allclose(float(scores[b, 0]), host[0][1], rtol=1e-4)
+
+
+def test_jit_and_repeat_collapse():
+    """'aa' needs a blank gap; peaked repeated logits must decode to one 'a'."""
+    T, C = 8, 3
+    logits = np.full((1, T, C), -5.0, np.float32)
+    logits[0, :, 1] = 3.0
+    f = jax.jit(lambda lg: ctc_beam_search_jax(lg, beam_width=4))
+    prefixes, plens, scores = f(jnp.asarray(logits))
+    assert int(plens[0, 0]) == 1 and int(prefixes[0, 0, 0]) == 1
+
+
+def test_max_label_len_cap():
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((1, 12, 5)).astype(np.float32)
+    prefixes, plens, scores = ctc_beam_search_jax(logits, beam_width=4,
+                                                  max_label_len=2)
+    assert int(plens.max()) <= 2

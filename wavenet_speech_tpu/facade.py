@@ -188,25 +188,37 @@ class Dataset:
 
 class Decoder:
     """'argmax' or 'beam' decoding of (B, L, C) logits -> strings
-    (Decoder.py:4-41)."""
+    (Decoder.py:4-41). 'beam' runs the on-device prefix beam search by
+    default (on_device=False falls back to the host reference impl)."""
 
     def __init__(self, decoder: str = "argmax", beam_width: int = 7,
-                 blank: int = 0):
+                 blank: int = 0, on_device: bool = True):
         assert decoder in ("argmax", "beam")
         self.decoder_type = decoder
         self.beam_width = beam_width
         self.blank = blank
+        self.on_device = on_device
 
     def decode(self, logits, lengths=None):
         from wavenet_speech_tpu.decoding import (
             beam_search_decode,
+            ctc_beam_search_jax,
             greedy_ctc_decode,
             labels2strings,
         )
 
-        logits = np.asarray(logits)
         if self.decoder_type == "argmax":
-            return None, greedy_ctc_decode(logits, lengths, self.blank)
-        results, scores = beam_search_decode(logits, self.beam_width,
-                                             self.blank, lengths)
+            return None, greedy_ctc_decode(np.asarray(logits), lengths,
+                                           self.blank)
+        if self.on_device:
+            prefixes, plens, scores = ctc_beam_search_jax(
+                logits, lengths, beam_width=self.beam_width, blank=self.blank)
+            prefixes, plens = np.asarray(prefixes), np.asarray(plens)
+            results = [prefixes[b, 0, : plens[b, 0]]
+                       for b in range(prefixes.shape[0])]
+            return [float(s) for s in np.asarray(scores)[:, 0]], \
+                labels2strings(results)
+        results, scores = beam_search_decode(np.asarray(logits),
+                                             self.beam_width, self.blank,
+                                             lengths)
         return scores, labels2strings(results)
