@@ -7,6 +7,8 @@ from wavenet_speech_tpu.models.blocks import (
 from wavenet_speech_tpu.models.wavenet import WaveNet
 from wavenet_speech_tpu.models.classifier import WaveNetClassifier
 from wavenet_speech_tpu.models.raw_ctcnet import RawCTCNet
+from wavenet_speech_tpu.models.bytenet_decoder import ByteNetDecoder
+from wavenet_speech_tpu.models.rnn_decoder import RNNByteNetDecoder, StackedLSTMCell
 
 __all__ = [
     "ResidualBlock",
@@ -16,4 +18,7 @@ __all__ = [
     "WaveNet",
     "WaveNetClassifier",
     "RawCTCNet",
+    "ByteNetDecoder",
+    "RNNByteNetDecoder",
+    "StackedLSTMCell",
 ]
