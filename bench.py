@@ -19,7 +19,7 @@ BASELINE_SAMPLES_PER_SEC = 4505.0 / 34.46  # reference CPU: 130.7
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
-         steps: int = 10, warmup: int = 3):
+         steps: int = 10, warmup: int = 3, bf16: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,9 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
     tx = build_optimizer("adagrad", 3e-5)  # reference optimizer (cell 15)
     state = TrainState.create(params, tx)
-    step = make_joint_train_step(base, clf, tx, JointLoss("joint"))
+    step = make_joint_train_step(
+        base, clf, tx, JointLoss("joint"),
+        compute_dtype=jnp.bfloat16 if bf16 else None)
 
     rng = np.random.default_rng(0)
     levels = rng.integers(0, num_levels, size=(batch_size, signal_len))

@@ -44,6 +44,7 @@ class ResidualBlock(Module):
     causal: bool = True
     w_init: object = staticmethod(init.kaiming_uniform)
     b_init: object = staticmethod(init.zeros)
+    use_pallas: bool = False  # fused Pallas forward (causal blocks, TPU only)
 
     @property
     def receptive_field(self) -> int:
@@ -71,6 +72,14 @@ class ResidualBlock(Module):
         }
 
     def apply(self, params: Params, x):
+        if self.use_pallas and self.causal:
+            from wavenet_speech_tpu.ops.pallas import fused_gated_block
+
+            return fused_gated_block(
+                x, params["gate"]["w"], params["gate"]["b"],
+                params["out1x1"]["w"][0], params["out1x1"]["b"],
+                params["residual_proj"]["w"], params["residual_proj"]["b"],
+                self.dilation)
         conv = causal_conv1d if self.causal else noncausal_conv1d
         g = conv(x, params["gate"]["w"], params["gate"]["b"], dilation=self.dilation)
         C = self.out_channels

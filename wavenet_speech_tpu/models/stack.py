@@ -52,6 +52,7 @@ class SkipSumStack(Module):
     bottleneck_b_init: object = staticmethod(init.zeros)
     min_scan_repeats: int = 2  # use lax.scan when the cycle repeats >= this
     remat: bool = False  # rematerialize each cycle in backward (HBM for FLOPs)
+    use_pallas: bool = False  # fused Pallas forward for causal blocks
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -65,7 +66,8 @@ class SkipSumStack(Module):
     def _block(self, spec: LayerSpec) -> ResidualBlock:
         c_in, c_out, kw, d = spec
         return ResidualBlock(c_in, c_out, kw, d, causal=self.causal,
-                             w_init=self.w_init, b_init=self.b_init)
+                             w_init=self.w_init, b_init=self.b_init,
+                             use_pallas=self.use_pallas)
 
     def _layer_init(self, key, spec: LayerSpec) -> Params:
         kb, kw, kbb = rngs(key, 3)

@@ -34,6 +34,7 @@ class WaveNet(Module):
     out_dim: int
     softmax: bool = True
     remat: bool = False
+    use_pallas: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -50,7 +51,7 @@ class WaveNet(Module):
 
     def _stack(self) -> SkipSumStack:
         return SkipSumStack(self.layers, self.out_dim, causal=True,
-                            remat=self.remat)
+                            remat=self.remat, use_pallas=self.use_pallas)
 
     def _entry(self) -> CausalConv1d:
         return CausalConv1d(self.in_dim, self.layers[0][0], self.entry_kwidth)

@@ -39,19 +39,34 @@ class TrainState:
                    step=jnp.zeros((), jnp.int32))
 
 
+def _cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, tree)
+
+
 def make_joint_train_step(base_model, ctc_model, tx,
                           loss: Optional[JointLoss] = None,
-                          donate: bool = True):
+                          donate: bool = True,
+                          compute_dtype=None):
     """Jitted joint (XE + CTC) step over a {"base":..., "ctc":...} param
     tree. batch is the dict pytree from data/prefetch.batch_to_device.
+
+    compute_dtype=jnp.bfloat16 runs the conv stacks in bf16 (mixed
+    precision: f32 master params and f32 losses/grads accumulation —
+    params are cast on entry to the forward; CTC/XE losses always compute
+    in f32 internally).
 
     Returns step_fn(state, batch) -> (state, metrics dict)."""
     loss = loss or JointLoss("joint")
 
     def loss_fn(params, batch):
-        signal = batch["signal"]
-        signal_pred = base_model.apply(params["base"], signal)
-        logits = ctc_model.apply(params["ctc"], signal)
+        signal = _cast(batch["signal"], compute_dtype)
+        cparams = _cast(params, compute_dtype)
+        signal_pred = base_model.apply(cparams["base"], signal)
+        logits = ctc_model.apply(cparams["ctc"], signal)
         xe, ctc = loss.calculate(signal, signal_pred, logits,
                                  batch["labels"], batch["label_lengths"])
         total = ctc if xe is None else loss.joint_weight * xe + ctc
@@ -73,16 +88,19 @@ def make_joint_train_step(base_model, ctc_model, tx,
 def make_ctc_train_step(model, tx, average_per_logit: bool = True,
                         use_logit_lengths: bool = False,
                         length_fn: Optional[Callable[[int], int]] = None,
-                        donate: bool = True):
+                        donate: bool = True,
+                        compute_dtype=None):
     """Jitted CTC-only step for a single encoder (e.g. RawCTCNet).
 
     average_per_logit: divide the summed CTC by T (reference per-logit
     average, pretrain_tnt.py:159-162).
     use_logit_lengths: derive per-sequence logit lengths from the batch's
-    signal_lengths via length_fn (the reference always uses full length)."""
+    signal_lengths via length_fn (the reference always uses full length).
+    compute_dtype: see make_joint_train_step."""
 
     def loss_fn(params, batch):
-        logits = model.apply(params, batch["signal"])
+        logits = model.apply(_cast(params, compute_dtype),
+                             _cast(batch["signal"], compute_dtype))
         B, T = logits.shape[0], logits.shape[1]
         if use_logit_lengths and length_fn is not None:
             logit_lengths = length_fn(batch["signal_lengths"])
