@@ -1,0 +1,63 @@
+"""Native C++ CTC beam decoder vs the exhaustively-validated host
+reference, plus a throughput sanity check."""
+import time
+
+import numpy as np
+import pytest
+
+from wavenet_speech_tpu.native import ctc_beam_search_native, native_available
+from wavenet_speech_tpu.native.ctc_beam import build_error
+from wavenet_speech_tpu.decoding import beam_search_decode
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason=f"native build failed: {build_error()}")
+
+
+@needs_native
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_matches_host_reference(seed):
+    rng = np.random.default_rng(seed)
+    B, T, C, W = 4, 25, 5, 7
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 2
+    labels, lengths, scores = ctc_beam_search_native(logits, beam_width=W,
+                                                     max_label_len=T)
+    host_res, host_sc = beam_search_decode(logits, beam_width=W)
+    for b in range(B):
+        np.testing.assert_array_equal(labels[b, : lengths[b]], host_res[b])
+        np.testing.assert_allclose(scores[b], host_sc[b], rtol=1e-5)
+
+
+@needs_native
+def test_native_lengths_and_threads():
+    rng = np.random.default_rng(5)
+    B, T, C = 8, 30, 5
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    seq_lens = rng.integers(5, T + 1, size=B).astype(np.int32)
+    l1, n1, s1 = ctc_beam_search_native(logits, beam_width=5,
+                                        lengths=seq_lens, num_threads=1)
+    l4, n4, s4 = ctc_beam_search_native(logits, beam_width=5,
+                                        lengths=seq_lens, num_threads=4)
+    np.testing.assert_array_equal(l1, l4)
+    np.testing.assert_array_equal(n1, n4)
+    np.testing.assert_allclose(s1, s4)
+    host_res, host_sc = beam_search_decode(logits, beam_width=5,
+                                           lengths=seq_lens)
+    for b in range(B):
+        np.testing.assert_array_equal(l1[b, : n1[b]], host_res[b])
+
+
+@needs_native
+def test_native_is_much_faster_than_python():
+    rng = np.random.default_rng(6)
+    B, T, C, W = 8, 200, 5, 7
+    logits = rng.standard_normal((B, T, C)).astype(np.float32) * 2
+
+    t0 = time.perf_counter()
+    ctc_beam_search_native(logits, beam_width=W)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    beam_search_decode(logits[:2], beam_width=W)
+    t_py = (time.perf_counter() - t0) * (B / 2)
+
+    assert t_native < t_py / 5, (t_native, t_py)

@@ -188,16 +188,22 @@ class Dataset:
 
 class Decoder:
     """'argmax' or 'beam' decoding of (B, L, C) logits -> strings
-    (Decoder.py:4-41). 'beam' runs the on-device prefix beam search by
-    default (on_device=False falls back to the host reference impl)."""
+    (Decoder.py:4-41).
+
+    Beam engines (engine=):
+      'device' — on-device lax.scan prefix beam search (default)
+      'native' — multithreaded C++ decoder (native/ctc_beam.cc)
+      'python' — host numpy reference implementation
+    """
 
     def __init__(self, decoder: str = "argmax", beam_width: int = 7,
-                 blank: int = 0, on_device: bool = True):
+                 blank: int = 0, engine: str = "device"):
         assert decoder in ("argmax", "beam")
+        assert engine in ("device", "native", "python")
         self.decoder_type = decoder
         self.beam_width = beam_width
         self.blank = blank
-        self.on_device = on_device
+        self.engine = engine
 
     def decode(self, logits, lengths=None):
         from wavenet_speech_tpu.decoding import (
@@ -210,7 +216,7 @@ class Decoder:
         if self.decoder_type == "argmax":
             return None, greedy_ctc_decode(np.asarray(logits), lengths,
                                            self.blank)
-        if self.on_device:
+        if self.engine == "device":
             prefixes, plens, scores = ctc_beam_search_jax(
                 logits, lengths, beam_width=self.beam_width, blank=self.blank)
             prefixes, plens = np.asarray(prefixes), np.asarray(plens)
@@ -218,6 +224,14 @@ class Decoder:
                        for b in range(prefixes.shape[0])]
             return [float(s) for s in np.asarray(scores)[:, 0]], \
                 labels2strings(results)
+        if self.engine == "native":
+            from wavenet_speech_tpu.native import ctc_beam_search_native
+
+            labels, lens, scores = ctc_beam_search_native(
+                np.asarray(logits), beam_width=self.beam_width,
+                blank=self.blank, lengths=lengths)
+            results = [labels[b, : lens[b]] for b in range(labels.shape[0])]
+            return [float(s) for s in scores], labels2strings(results)
         results, scores = beam_search_decode(np.asarray(logits),
                                              self.beam_width, self.blank,
                                              lengths)
