@@ -1,0 +1,138 @@
+"""Reproduce the reference's headline quality experiment: RawCTCNet trained
+on the Gaussian r9.4 5-mer generator, evaluated by average per-logit CTC
+loss and pairwise-alignment basecall identity.
+
+Reference anchors (RawCTCNet@AvgCTCLoss=0.6 eval notebook): best avg
+per-logit CTC 0.5548; basecall identity 49.5%-78.0% over 6 samples; model
+nfeats 2048 / 100 blocks, batch 6, upsample 6 random, lengths 80-90,
+Adamax lr 2e-4.
+
+Usage:
+  python examples/gaussian_eval.py --scale 0.125 --steps 2000   # 256-feat
+  python examples/gaussian_eval.py --smoke                      # tiny CPU run
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_model(scale: float, remat: bool = True):
+    from wavenet_speech_tpu.models import RawCTCNet
+
+    nfeats = max(int(2048 * scale), 16)
+    out_dim = max(int(512 * scale), 16)
+    reps = max(int(10 * min(scale * 8, 1.0)), 1)
+    # reference eval config: 10 x [1,2,4,8,16] cycles x kwidths {2,3}
+    cycle = tuple((nfeats, nfeats, 2, d) for d in (1, 2, 4, 8, 16)) \
+        + tuple((nfeats, nfeats, 3, d) for d in (1, 2, 4, 8, 16))
+    return RawCTCNet(nfeats, 3, 5, cycle * reps, out_dim, positions=False,
+                     softmax=False, causal=False, remat=remat)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=0.125)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--beam-width", type=int, default=7)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny fast run (CI/CPU)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_speech_tpu.data import RawGaussianModelLoader, batch_to_device
+    from wavenet_speech_tpu.decoding import ctc_beam_search_jax, labels2strings
+    from wavenet_speech_tpu.decoding.alignment import batch_identity
+    from wavenet_speech_tpu.training import (TrainState, build_optimizer,
+                                             make_ctc_train_step)
+    from wavenet_speech_tpu.utils.run_logging import MovingAverageMeter
+
+    if args.smoke:
+        args.scale, args.batch_size, args.lr = 1 / 64, 4, 2e-3
+        if args.steps == 2000:  # only override the untouched default
+            args.steps = 150
+
+    lengths = (80, 90) if not args.smoke else (15, 18)
+    upsampling = 6
+    loader = RawGaussianModelLoader(
+        max_iters=10 ** 9, num_epochs=10 ** 6, epoch_size=1000,
+        batch_size=args.batch_size, upsampling=upsampling,
+        random_upsample=not args.smoke, lengths=lengths, seed=0,
+        pad_to=(lengths[1] - 1 - 8) * (upsampling + (0 if args.smoke else 1)),
+        labels_pad_to=lengths[1] - 1)
+
+    model = build_model(args.scale, remat=not args.smoke)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = build_optimizer("adamax", args.lr)
+    state = TrainState.create(params, tx)
+    step = make_ctc_train_step(
+        model, tx, donate=False,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+
+    meter = MovingAverageMeter(25)
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = loader.fetch()
+        state, metrics = step(state, batch_to_device(batch))
+        meter.add(float(metrics["ctc_loss"]))
+        if i % 50 == 0:
+            print(f"step {i}: per-logit CTC {meter.value:.4f} "
+                  f"({time.time() - t0:.0f}s)")
+
+    # --- evaluation: per-logit CTC + basecall identity on fresh data ---
+    eval_loader = RawGaussianModelLoader(
+        max_iters=10 ** 9, num_epochs=10 ** 6, epoch_size=1000,
+        batch_size=args.batch_size, upsampling=upsampling,
+        random_upsample=not args.smoke, lengths=lengths, seed=777)
+    ctc_vals, idents = [], []
+    for _ in range(args.eval_batches):
+        batch = eval_loader.fetch()
+        dev = batch_to_device(batch)
+        logits = model.apply(state.params, dev["signal"])
+        from wavenet_speech_tpu.ops.ctc import ctc_loss_per_seq
+
+        T = logits.shape[1]
+        per_seq = ctc_loss_per_seq(
+            logits, jnp.full((logits.shape[0],), T, jnp.int32),
+            dev["labels"], dev["label_lengths"])
+        ctc_vals.append(float(jnp.sum(per_seq)) / T)
+        prefixes, plens, _ = ctc_beam_search_jax(
+            logits, beam_width=args.beam_width,
+            max_label_len=int(batch.label_lengths.max() * 2))
+        prefixes, plens = np.asarray(prefixes), np.asarray(plens)
+        preds = [prefixes[b, 0, : plens[b, 0]] for b in range(len(plens))]
+        truths = [batch.labels[b, : batch.label_lengths[b]]
+                  for b in range(len(plens))]
+        mean_id, details = batch_identity(preds, truths)
+        idents.extend(d[0] for d in details)
+        for p, t in list(zip(preds, truths))[:2]:
+            print("  pred:", labels2strings([p])[0])
+            print("  true:", labels2strings([t])[0])
+
+    result = {
+        "avg_per_logit_ctc": float(np.mean(ctc_vals)),
+        "mean_identity": float(np.mean(idents)),
+        "identities": [round(float(x), 3) for x in idents],
+        "reference_anchor": {"avg_per_logit_ctc": 0.5548,
+                             "identity_range": [0.495, 0.78]},
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
