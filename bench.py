@@ -11,11 +11,49 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 4505.0 / 34.46  # reference CPU: 130.7
+
+# --- stall watchdog -------------------------------------------------------
+# The tunneled TPU transport in this environment intermittently hangs a
+# fresh connection (observed ~20% success per process). A hang never
+# recovers in-process, so on stall we re-exec the interpreter (fresh
+# connections) up to _MAX_RETRIES times.
+_MAX_RETRIES = 8
+_STALL_SECONDS = 420.0
+_progress = {"t": time.time()}
+
+
+def _tick():
+    _progress["t"] = time.time()
+
+
+def _watchdog():
+    while True:
+        time.sleep(10)
+        if time.time() - _progress["t"] > _STALL_SECONDS:
+            retries = int(os.environ.get("BENCH_RETRY", "0"))
+            if retries >= _MAX_RETRIES:
+                print(json.dumps({
+                    "metric": "audio-samples/sec/chip",
+                    "value": 0.0, "unit": "samples/sec",
+                    "vs_baseline": 0.0,
+                    "error": "TPU transport stalled repeatedly"}),
+                    flush=True)
+                os._exit(2)
+            os.environ["BENCH_RETRY"] = str(retries + 1)
+            print(f"[bench] stall detected; re-exec (retry {retries + 1})",
+                  file=sys.stderr, flush=True)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
@@ -63,14 +101,18 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
         "signal_lengths": jnp.full((batch_size,), signal_len, jnp.int32),
     }
 
+    _tick()
     for _ in range(warmup):
         state, metrics = step(state, batch)
+        _tick()
     float(metrics["total_loss"])  # full sync (value readback)
+    _tick()
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
     final_loss = float(metrics["total_loss"])  # forces the whole chain
+    _tick()
     dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(final_loss)
 
