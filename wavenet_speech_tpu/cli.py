@@ -40,6 +40,8 @@ def build_from_config(cfg):
         num_levels=cfg.get("model", {}).get("base", {}).get("signal_dim", 256),
         min_length=t["min_sample_length"], max_length=t["max_sample_length"],
         nworkers=t["nworkers"], seed=t.get("seed"),
+        upsampling=t.get("upsampling", 4),
+        sample_noise=t.get("sample_noise", 2.0),
     )
 
     model_type = cfg.get("model", {}).get("type", "wavenet-ctc")
@@ -57,7 +59,16 @@ def build_from_config(cfg):
     step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
                                  donate=False)
     eval_step = make_eval_step(model.model_base, model.model_ctc, loss)
-    return dataset, model, state, step, eval_step, t
+    # optional XE-only pretraining phase (two-phase training of
+    # legacy_code/wavenet_ctc_artificial.py:146-164)
+    xe_iters = int(t.get("xe_pretrain_iters", 0) or 0)
+    if xe_iters > 0 and loss_choice == "joint":
+        xe_step = make_joint_train_step(
+            model.model_base, model.model_ctc, tx,
+            JointLoss("joint", ctc_weight=0.0), donate=False)
+    else:
+        xe_step = None
+    return dataset, model, state, (step, xe_step, xe_iters), eval_step, t
 
 
 def train(cfg) -> int:
@@ -70,7 +81,8 @@ def train(cfg) -> int:
     from wavenet_speech_tpu.utils.config import config_to_json
     from wavenet_speech_tpu.utils.run_logging import Logger, MovingAverageMeter, Throughput
 
-    dataset, model, state, step_fn, eval_fn, t = build_from_config(cfg)
+    dataset, model, state, (step_fn, xe_step_fn, xe_iters), eval_fn, t = \
+        build_from_config(cfg)
     logger = Logger(t["save_dir"])
     config_to_json(cfg, f"{t['save_dir'].rstrip('/')}/config.json")
 
@@ -94,7 +106,10 @@ def train(cfg) -> int:
             except StopIteration:
                 break
             dev = batch_to_device(batch)
-            state, metrics = step_fn(state, dev)
+            if xe_step_fn is not None and int(state.step) < xe_iters:
+                state, metrics = xe_step_fn(state, dev)  # XE-only phase
+            else:
+                state, metrics = step_fn(state, dev)
             step_idx = int(state.step)
             loss_val = float(metrics["total_loss"])
             meter.add(loss_val)
@@ -150,7 +165,7 @@ def evaluate(cfg) -> int:
                       beam_width=t.get("beam_width", 7))
 
     n_batches = t.get("eval_batches", 10)
-    losses = []
+    losses, identities = [], []
     for i in range(n_batches):
         try:
             batch = dataset.fetch("valid" if dataset.datatype in
@@ -160,16 +175,22 @@ def evaluate(cfg) -> int:
         dev = batch_to_device(batch)
         m = eval_fn(state.params, dev)
         losses.append(float(m["total_loss"]))
+        _, logits = model.predict(state.params, dev["signal"])
+        _, decoded = decoder.decode(np.asarray(logits))
+        truth_seqs = [batch.labels[b, : batch.label_lengths[b]]
+                      for b in range(batch.labels.shape[0])]
+        targets = labels2strings(truth_seqs)
+        from wavenet_speech_tpu.decoding.alignment import batch_identity
+
+        mean_id, _ = batch_identity([list(d) for d in decoded], targets)
+        identities.append(mean_id)
         if t.get("print_samples") and i == 0:
-            _, logits = model.predict(state.params, dev["signal"])
-            _, decoded = decoder.decode(np.asarray(logits))
-            targets = labels2strings(
-                [batch.labels[b, : batch.label_lengths[b]]
-                 for b in range(batch.labels.shape[0])])
             for d, tg in list(zip(decoded, targets))[:4]:
                 print(f"  pred: {d}\n  true: {tg}")
     print(f"eval loss over {len(losses)} batches: "
-          f"{np.mean(losses) if losses else float('nan'):.4f}")
+          f"{np.mean(losses) if losses else float('nan'):.4f} | "
+          f"basecall identity: "
+          f"{np.mean(identities) if identities else float('nan'):.3f}")
     dataset.close()
     return 0
 

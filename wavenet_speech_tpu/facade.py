@@ -133,6 +133,10 @@ class Dataset:
         noise = kw.get("sample_noise", 2.0)
         pw = kw.get("pore_width", 4)
         seed = kw.get("seed")
+        # static output shapes by default: jitted train steps compile ONCE
+        # instead of once per batch-length combination (the reference pads
+        # only to the per-batch max, utils/pore_model.py:107-127)
+        static_shapes = kw.get("static_shapes", True)
 
         # synthetic datatypes get a dedicated infinite validation generator
         # (separate seed) so validation doesn't consume the training budget —
@@ -169,6 +173,12 @@ class Dataset:
         else:
             raise NotImplementedError("raw-hdf5 currently unsupported "
                                       "(matches reference Dataset.py:57-58)")
+
+        if static_shapes and datatype not in self.QUEUE_TYPES:
+            for ld in (self.data, self.valid_data):
+                if hasattr(ld, "max_signal_length"):
+                    ld.pad_to = ld.max_signal_length
+                    ld.labels_pad_to = ld.max_label_length
 
     @property
     def signal_channels(self) -> int:

@@ -50,6 +50,8 @@ class JointLoss:
     loss_choice: str = "joint"
     averaged: bool = True
     joint_weight: float = 1.0  # weight on the XE term when combining
+    ctc_weight: float = 1.0    # 0.0 gives the XE-only pretraining phase
+                               # (legacy_code/wavenet_ctc_artificial.py:146-164)
 
     def __post_init__(self):
         assert self.loss_choice in ("joint", "ctc")
@@ -72,6 +74,8 @@ class JointLoss:
         return xe, ctc
 
     def total(self, *args, **kwargs):
-        """Scalar objective: joint_weight * XE + CTC (or just CTC)."""
+        """Scalar objective: joint_weight * XE + ctc_weight * CTC."""
         xe, ctc = self.calculate(*args, **kwargs)
-        return ctc if xe is None else self.joint_weight * xe + ctc
+        if xe is None:
+            return ctc
+        return self.joint_weight * xe + self.ctc_weight * ctc

@@ -69,7 +69,10 @@ def make_joint_train_step(base_model, ctc_model, tx,
         logits = ctc_model.apply(cparams["ctc"], signal)
         xe, ctc = loss.calculate(signal, signal_pred, logits,
                                  batch["labels"], batch["label_lengths"])
-        total = ctc if xe is None else loss.joint_weight * xe + ctc
+        if xe is None:
+            total = ctc
+        else:
+            total = loss.joint_weight * xe + loss.ctc_weight * ctc
         return total, {"xe_loss": (jnp.zeros(()) if xe is None else xe),
                        "ctc_loss": ctc}
 
