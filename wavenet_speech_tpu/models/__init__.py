@@ -9,6 +9,8 @@ from wavenet_speech_tpu.models.classifier import WaveNetClassifier
 from wavenet_speech_tpu.models.raw_ctcnet import RawCTCNet
 from wavenet_speech_tpu.models.bytenet_decoder import ByteNetDecoder
 from wavenet_speech_tpu.models.rnn_decoder import RNNByteNetDecoder, StackedLSTMCell
+from wavenet_speech_tpu.models.conv_decoder import AttnConvolutionalDecoder
+from wavenet_speech_tpu.models import fast_wavenet
 
 __all__ = [
     "ResidualBlock",
@@ -21,4 +23,6 @@ __all__ = [
     "ByteNetDecoder",
     "RNNByteNetDecoder",
     "StackedLSTMCell",
+    "AttnConvolutionalDecoder",
+    "fast_wavenet",
 ]
