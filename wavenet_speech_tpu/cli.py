@@ -201,14 +201,65 @@ def Dataset_queue_types():
     return Dataset.QUEUE_TYPES
 
 
+def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
+    """Basecall signals from an NPY/NPZ file and emit FASTA.
+
+    Input file: 'signal' array — (B, L) raw float, (B, L) int quantized
+    levels (one-hot encoded to the model's signal_dim), or (B, L, C)."""
+    import jax
+    import numpy as np
+
+    from wavenet_speech_tpu.inference import Basecaller
+    from wavenet_speech_tpu.training.checkpoint import restore_checkpoint
+    from wavenet_speech_tpu.utils.config import training_cfg
+
+    dataset, model, state, _steps, _eval, t = build_from_config(cfg)
+    dataset.close()
+    ckpt = t.get("restore") or f"{t['save_dir'].rstrip('/')}/ckpts/"
+    state = restore_checkpoint(ckpt, state)
+
+    data = np.load(signals_path)
+    sig = data["signal"] if hasattr(data, "files") else data
+    if sig.ndim == 2 and np.issubdtype(sig.dtype, np.integer):
+        C = cfg.get("model", {}).get("base", {}).get("signal_dim", 256)
+        sig = jax.nn.one_hot(sig, C)
+        sig = np.asarray(sig, np.float32)
+    elif sig.ndim == 2:
+        sig = sig.astype(np.float32)[..., None]
+
+    class _Pipe:
+        def apply(self, params, x):
+            _, logits = model.predict(params, x)
+            return logits
+
+    caller = Basecaller(model=_Pipe(), params=state.params,
+                        beam_width=t.get("beam_width", 7))
+    seqs, scores = caller(sig)
+    lines = []
+    for i, (s, sc) in enumerate(zip(seqs, scores)):
+        lines.append(f">read_{i} score={sc:.3f}")
+        lines.append(s)
+    text = "\n".join(lines) + "\n"
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text)
+    else:
+        print(text, end="")
+    return 0
+
+
 def main(argv: Optional[list] = None) -> int:
     from wavenet_speech_tpu.utils.config import json_to_config
 
     ap = argparse.ArgumentParser(
         prog="wavenet-speech-tpu",
-        description="TPU-native WaveNet-CTC trainer/evaluator")
-    ap.add_argument("command", choices=["train", "evaluate"])
+        description="TPU-native WaveNet-CTC trainer/evaluator/basecaller")
+    ap.add_argument("command", choices=["train", "evaluate", "basecall"])
     ap.add_argument("config", help="path to JSON config")
+    ap.add_argument("--signals", default=None,
+                    help="basecall: NPY/NPZ file of signals")
+    ap.add_argument("--out", default=None,
+                    help="basecall: output FASTA path (default stdout)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
@@ -221,6 +272,10 @@ def main(argv: Optional[list] = None) -> int:
     cfg = json_to_config(args.config)
     if args.command == "train":
         return train(cfg)
+    if args.command == "basecall":
+        if not args.signals:
+            ap.error("basecall requires --signals")
+        return basecall(cfg, args.signals, args.out)
     return evaluate(cfg)
 
 

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-NEG_INF = jnp.float32(-1e30)
+# plain python float: a module-level jnp scalar would initialize the JAX
+# backend at import time, locking the platform before callers can choose it
+NEG_INF = -1e30
 
 
 def _logaddexp(a, b):
