@@ -20,11 +20,11 @@ class Logger:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
         self.training_log = os.path.join(self.log_dir, "training.log")
-        self._training_log_f = open(self.training_log, "w")
+        self._training_log_f = open(self.training_log, "a")
         self.messages_log = os.path.join(self.log_dir, "messages.log")
-        self._messages_log_f = open(self.messages_log, "w")
+        self._messages_log_f = open(self.messages_log, "a")
         self.metrics_log = os.path.join(self.log_dir, "metrics.jsonl")
-        self._metrics_log_f = open(self.metrics_log, "w")
+        self._metrics_log_f = open(self.metrics_log, "a")
 
     def close(self):
         self._training_log_f.close()
