@@ -56,8 +56,22 @@ def build_from_config(cfg):
 
     loss_choice = t.get("loss", "joint" if model_type == "wavenet-ctc" else "ctc")
     loss = JointLoss(loss_choice)
+    compute_dtype = None
+    if str(t.get("compute_dtype", "")).lower() in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    logit_length_fn = None
+    if t.get("length_aware_ctc"):
+        if model_type == "wavenet-ctc":
+            pool = cfg.get("model", {}).get("classifier", {}).get("downsample", 1)
+            logit_length_fn = lambda sl: sl // pool
+        else:
+            fk = cfg.get("model", {}).get("raw", {}).get("feature_kwidth", 3)
+            logit_length_fn = lambda sl: sl + fk - 1
     step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
-                                 donate=False)
+                                 donate=False, compute_dtype=compute_dtype,
+                                 logit_length_fn=logit_length_fn)
     eval_step = make_eval_step(model.model_base, model.model_ctc, loss)
     # optional XE-only pretraining phase (two-phase training of
     # legacy_code/wavenet_ctc_artificial.py:146-164)
@@ -106,16 +120,18 @@ def train(cfg) -> int:
             except StopIteration:
                 break
             dev = batch_to_device(batch)
-            if xe_step_fn is not None and int(state.step) < xe_iters:
+            step_idx += 1
+            if xe_step_fn is not None and step_idx <= xe_iters:
                 state, metrics = xe_step_fn(state, dev)  # XE-only phase
             else:
                 state, metrics = step_fn(state, dev)
-            step_idx = int(state.step)
-            loss_val = float(metrics["total_loss"])
-            meter.add(loss_val)
             tput.tick(int(np.prod(batch.signal.shape[:2])))
 
             if step_idx % t["print_every"] == 0:
+                # sync only here: reading the loss back every step would
+                # serialize the async dispatch pipeline (the tunnel RTT
+                # dominates small steps)
+                meter.add(float(metrics["total_loss"]))
                 vloss = float("nan")
                 try:
                     vbatch = dataset.fetch("valid")

@@ -50,7 +50,8 @@ def _cast(tree, dtype):
 def make_joint_train_step(base_model, ctc_model, tx,
                           loss: Optional[JointLoss] = None,
                           donate: bool = True,
-                          compute_dtype=None):
+                          compute_dtype=None,
+                          logit_length_fn: Optional[Callable] = None):
     """Jitted joint (XE + CTC) step over a {"base":..., "ctc":...} param
     tree. batch is the dict pytree from data/prefetch.batch_to_device.
 
@@ -67,8 +68,18 @@ def make_joint_train_step(base_model, ctc_model, tx,
         cparams = _cast(params, compute_dtype)
         signal_pred = base_model.apply(cparams["base"], signal)
         logits = ctc_model.apply(cparams["ctc"], signal)
-        xe, ctc = loss.calculate(signal, signal_pred, logits,
-                                 batch["labels"], batch["label_lengths"])
+        # reference semantics: CTC over full logit length (Loss.py:50);
+        # logit_length_fn maps true signal lengths -> per-seq logit lengths
+        # so statically-padded batches don't train blanks on pad frames
+        if logit_length_fn is not None:  # length-aware mode
+            xe, ctc = loss.calculate(
+                signal, signal_pred, logits, batch["labels"],
+                batch["label_lengths"],
+                logit_lengths=logit_length_fn(batch["signal_lengths"]),
+                signal_lengths=batch["signal_lengths"])
+        else:  # reference-default: full lengths, unmasked XE
+            xe, ctc = loss.calculate(signal, signal_pred, logits,
+                                     batch["labels"], batch["label_lengths"])
         if xe is None:
             total = ctc
         else:
