@@ -10,14 +10,38 @@ Adamax lr 2e-4.
 Usage:
   python examples/gaussian_eval.py --scale 0.125 --steps 2000   # 256-feat
   python examples/gaussian_eval.py --smoke                      # tiny CPU run
+
+Long TPU runs: pass --ckpt-dir to get periodic full-state checkpoints and
+automatic resume; a stall watchdog re-execs the process if the flaky TPU
+tunnel hangs (same mitigation as bench.py), so
+`tools/run_with_retries.sh <secs> <n> python examples/gaussian_eval.py ...`
+makes the whole run self-healing.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
+
+_progress = {"t": time.time(), "armed": False}
+
+
+def _tick():
+    _progress["t"] = time.time()
+
+
+def _watchdog(stall_seconds: float = 420.0):
+    while True:
+        time.sleep(10)
+        if _progress["armed"] and time.time() - _progress["t"] > stall_seconds:
+            print("[gaussian_eval] TPU transport stall; re-exec for resume",
+                  file=sys.stderr, flush=True)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def build_model(scale: float, remat: bool = True):
@@ -45,6 +69,12 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true",
                     help="tiny fast run (CI/CPU)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="checkpoint/resume dir (enables stall watchdog)")
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--out", default=None, help="write result JSON here")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate the latest checkpoint")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -83,15 +113,40 @@ def main(argv=None):
         model, tx, donate=False,
         compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
+    start = 0
+    if args.ckpt_dir:
+        from wavenet_speech_tpu.training.checkpoint import (
+            latest_step, restore_checkpoint, save_checkpoint)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+        _progress["armed"] = True
+        if latest_step(args.ckpt_dir) is not None:
+            state = restore_checkpoint(args.ckpt_dir, state)
+            start = int(state.step)
+            print(f"resumed from step {start}", flush=True)
+        if args.eval_only:
+            args.steps = start
+        # the loader is deterministic given (seed, iteration); fast-forward
+        # so resumed runs see fresh data instead of replaying batch 0
+        if args.steps > start:
+            for _ in range(start):
+                loader.fetch()
+
     meter = MovingAverageMeter(25)
     t0 = time.time()
-    for i in range(args.steps):
+    for i in range(start, args.steps):
+        _tick()
         batch = loader.fetch()
         state, metrics = step(state, batch_to_device(batch))
         meter.add(float(metrics["ctc_loss"]))
         if i % 50 == 0:
             print(f"step {i}: per-logit CTC {meter.value:.4f} "
-                  f"({time.time() - t0:.0f}s)")
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if args.ckpt_dir and (i + 1) % args.save_every == 0:
+            save_checkpoint(args.ckpt_dir, state, step=i + 1, max_to_keep=2)
+    if args.ckpt_dir and args.steps > start:
+        save_checkpoint(args.ckpt_dir, state, step=args.steps, max_to_keep=2)
+    _tick()
 
     # --- evaluation: per-logit CTC + basecall identity on fresh data ---
     eval_loader = RawGaussianModelLoader(
@@ -100,6 +155,7 @@ def main(argv=None):
         random_upsample=not args.smoke, lengths=lengths, seed=777)
     ctc_vals, idents = [], []
     for _ in range(args.eval_batches):
+        _tick()
         batch = eval_loader.fetch()
         dev = batch_to_device(batch)
         logits = model.apply(state.params, dev["signal"])
@@ -130,7 +186,10 @@ def main(argv=None):
         "reference_anchor": {"avg_per_logit_ctc": 0.5548,
                              "identity_range": [0.495, 0.78]},
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
     return result
 
 
