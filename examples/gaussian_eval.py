@@ -75,6 +75,9 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate the latest checkpoint")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="keep activations for backward (faster when the "
+                         "model fits HBM without rematerialization)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -105,7 +108,7 @@ def main(argv=None):
         pad_to=(lengths[1] - 1 - 8) * (upsampling + (0 if args.smoke else 1)),
         labels_pad_to=lengths[1] - 1)
 
-    model = build_model(args.scale, remat=not args.smoke)
+    model = build_model(args.scale, remat=not (args.smoke or args.no_remat))
     params = model.init(jax.random.PRNGKey(0))
     tx = build_optimizer("adamax", args.lr)
     state = TrainState.create(params, tx)
