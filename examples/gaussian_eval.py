@@ -78,6 +78,9 @@ def main(argv=None):
     ap.add_argument("--no-remat", action="store_true",
                     help="keep activations for backward (faster when the "
                          "model fits HBM without rematerialization)")
+    ap.add_argument("--cosine", action="store_true",
+                    help="warmup + cosine-decay LR schedule over --steps "
+                         "(reference protocol is constant LR)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -110,7 +113,14 @@ def main(argv=None):
 
     model = build_model(args.scale, remat=not (args.smoke or args.no_remat))
     params = model.init(jax.random.PRNGKey(0))
-    tx = build_optimizer("adamax", args.lr)
+    lr = args.lr
+    if args.cosine:
+        import optax
+
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, warmup_steps=min(500, args.steps // 10),
+            decay_steps=args.steps, end_value=args.lr * 0.05)
+    tx = build_optimizer("adamax", lr)
     state = TrainState.create(params, tx)
     step = make_ctc_train_step(
         model, tx, donate=False,
@@ -152,10 +162,12 @@ def main(argv=None):
     _tick()
 
     # --- evaluation: per-logit CTC + basecall identity on fresh data ---
+    # same static padded shapes as training: one compile for all eval batches
     eval_loader = RawGaussianModelLoader(
         max_iters=10 ** 9, num_epochs=10 ** 6, epoch_size=1000,
         batch_size=args.batch_size, upsampling=upsampling,
-        random_upsample=not args.smoke, lengths=lengths, seed=777)
+        random_upsample=not args.smoke, lengths=lengths, seed=777,
+        pad_to=loader.pad_to, labels_pad_to=loader.labels_pad_to)
     ctc_vals, idents = [], []
     for _ in range(args.eval_batches):
         _tick()
