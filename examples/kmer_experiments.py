@@ -36,17 +36,27 @@ def _kmer_tables():
 
 
 def _nts_to_kmers(nts: np.ndarray) -> np.ndarray:
-    """Sliding 5-mer ids from a nucleotide row (values 1..4), matching the
-    reference's base-4 positional encoding (decode_nucleotides_from_kmer.py:
-    41-44): kmer = sum((nt-1) * 4^(4-i))."""
-    w = 4 ** np.arange(4, -1, -1)
-    win = np.lib.stride_tricks.sliding_window_view(nts - 1, 5, axis=-1)
-    return (win * w).sum(-1)
+    """Sliding 5-mer ids per batch row, the reference's base-4 positional
+    encoding (decode_nucleotides_from_kmer.py:41-44) via the canonical
+    kmer_ids helper (data/gaussian_kmer.py)."""
+    from wavenet_speech_tpu.data.gaussian_kmer import kmer_ids
+
+    return np.stack([kmer_ids(row, trim=0) for row in nts])
 
 
 def run_mapping(steps: int, batch_size: int, nhid: int, lr: float, seed: int):
     """reference tests/kmer_mapping.py: Linear(1,1) -> 6x[Linear+LeakyReLU]
-    -> Linear(nhid, 1024), CE against the kmer id, Adamax."""
+    -> Linear(nhid, 1024), CE against the kmer id, Adamax.
+
+    Faithful quirks: the LeakyReLU negative slope is
+    nn.init.calculate_gain('leaky_relu') ~= 1.4139 (kmer_mapping.py:39-51 —
+    a near-linear activation), and weights use sparse init (sparsity 0.1,
+    kmer_mapping.py:52). Honest divergence: the reference loop never calls
+    loss.backward() (kmer_mapping.py:66-71), so its documented negative
+    result came from an UNTRAINED model; this port actually trains and the
+    task still sits at chance — a strictly stronger confirmation that a
+    pointwise map cannot recover the 5-mer from one sample (25 gaussians
+    with heavy overlap cover 1024 classes)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -56,17 +66,26 @@ def run_mapping(steps: int, batch_size: int, nhid: int, lr: float, seed: int):
 
     dims = [1, 1] + [nhid] * 6 + [1024]
     keys = jax.random.split(jax.random.PRNGKey(seed), len(dims))
+
+    def sparse_init(key, shape, sparsity=0.1):
+        # torch nn.init.sparse: normal(0, 0.01) with `sparsity` fraction of
+        # each column zeroed
+        w = jax.random.normal(key, shape, jnp.float32) * 0.01
+        nz = jax.random.uniform(jax.random.fold_in(key, 1), shape) >= sparsity
+        return w * nz
+
     params = [
-        {"w": jax.nn.initializers.he_normal()(keys[i], (dims[i], dims[i + 1]),
-                                              jnp.float32),
+        {"w": sparse_init(keys[i], (dims[i], dims[i + 1])),
          "b": jnp.full((dims[i + 1],), 1e-4)}
         for i in range(len(dims) - 1)
     ]
+    slope = float(np.sqrt(2.0 / (1 + 0.01 ** 2)))  # calculate_gain ~ 1.4139
 
     def mlp(params, x):
         h = x @ params[0]["w"] + params[0]["b"]
         for lyr in params[1:-1]:
-            h = jax.nn.leaky_relu(h @ lyr["w"] + lyr["b"])
+            h = jax.nn.leaky_relu(h @ lyr["w"] + lyr["b"],
+                                  negative_slope=slope)
         return h @ params[-1]["w"] + params[-1]["b"]
 
     tx = optax.adamax(lr)
@@ -108,6 +127,7 @@ def _stay_batch(rng, means, stdvs, batch_size, num_kmers, shape, rate,
     L = pad_frames
     sig = np.zeros((B, L, 1), np.float32)
     lab = np.full((B, L), 1024, np.int64)  # STAY everywhere by default
+    valid = np.zeros((B, L), bool)  # true frames (not tail padding)
     for b in range(B):
         t = 0
         for i in range(num_kmers):
@@ -118,7 +138,8 @@ def _stay_batch(rng, means, stdvs, batch_size, num_kmers, shape, rate,
             sig[b, t : t + d, 0] = rng.normal(means[k], stdvs[k], size=d)
             lab[b, t] = k
             t += d
-    return sig, lab
+        valid[b, :t] = True
+    return sig, lab, valid
 
 
 def run_stay(steps: int, batch_size: int, num_features: int, lr: float,
@@ -145,20 +166,23 @@ def run_stay(steps: int, batch_size: int, num_features: int, lr: float,
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, sig, lab):
+    def step(params, opt_state, sig, lab, valid):
         def loss_fn(p):
             logits = net.apply(p, sig)[:, : lab.shape[1]]
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, lab).mean()
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
+            # mask the zero-signal tail padding so the metric measures
+            # kmer-vs-STAY prediction on real frames only
+            return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for k in range(steps):
-        sig, lab = _stay_batch(rng, means, stdvs, batch_size, num_kmers,
-                               shape, rate, max_dur, pad_frames)
-        params, opt_state, loss = step(params, opt_state, sig, lab)
+        sig, lab, valid = _stay_batch(rng, means, stdvs, batch_size,
+                                      num_kmers, shape, rate, max_dur,
+                                      pad_frames)
+        params, opt_state, loss = step(params, opt_state, sig, lab, valid)
         if k % 20 == 0:
             print(f"step {k} | frame CE {float(loss):.4f} "
                   f"(chance {np.log(1025):.4f})", flush=True)
@@ -182,20 +206,21 @@ def run_decode(steps: int, batch_size: int, nt_length: int, channels: int,
                          layers=((3, 1), (3, 2), (3, 4), (3, 8), (3, 16)),
                          block="mult")
     key = jax.random.PRNGKey(seed)
-    params = {
-        "decoder": dec.init(key),
-        "kmer_embed": jax.nn.initializers.normal(1.0)(
-            jax.random.fold_in(key, 1), (1024, enc_dim), jnp.float32),
-    }
+    params = dec.init(key)
+    # the reference optimizes decoder.parameters() only — its
+    # nn.Embedding(1024, enc_dim) stays frozen at random init
+    # (decode_nucleotides_from_kmer.py:70,76)
+    kmer_embed = jax.nn.initializers.normal(1.0)(
+        jax.random.fold_in(key, 1), (1024, enc_dim), jnp.float32)
     tx = optax.adamax(lr)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, nts, kmers):
         def loss_fn(p):
-            enc = p["kmer_embed"][kmers]                 # (B, L_enc, enc_dim)
+            enc = kmer_embed[kmers]                      # (B, L_enc, enc_dim)
             L = enc.shape[1]
-            logits = dec.apply(p["decoder"], nts[:, :L], enc)
+            logits = dec.apply(p, nts[:, :L], enc)
             # next-timestep prediction (reference loss vs nt_var[:, t+1])
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, nts[:, 1 : L + 1]).mean()

@@ -1,11 +1,12 @@
 """Smoke tests for the ported kmer research experiments (reference
 tests/kmer_mapping.py, tests/kmer_stay_prediction.py,
 tests/decode_nucleotides_from_kmer.py)."""
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "examples")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 import kmer_experiments as ke  # noqa: E402
 
@@ -22,12 +23,16 @@ def test_nts_to_kmers_matches_reference_encoding():
 def test_stay_batch_shapes_and_alignment():
     means, stdvs = ke._kmer_tables()
     rng = np.random.default_rng(0)
-    sig, lab = ke._stay_batch(rng, means, stdvs, batch_size=3, num_kmers=5,
-                              shape=2.0, rate=0.5, max_dur=4, pad_frames=20)
+    sig, lab, valid = ke._stay_batch(rng, means, stdvs, batch_size=3,
+                                     num_kmers=5, shape=2.0, rate=0.5,
+                                     max_dur=4, pad_frames=20)
     assert sig.shape == (3, 20, 1) and lab.shape == (3, 20)
     # every row starts with a kmer label (not STAY) and contains STAYs
     assert (lab[:, 0] < 1024).all()
-    assert (lab == 1024).any()
+    assert ((lab == 1024) & valid).any()
+    # padding frames are zero-signal and excluded from the valid mask
+    assert (sig[~valid] == 0).all()
+    assert valid[:, 0].all()
 
 
 def test_decode_learns_quickly():
