@@ -69,7 +69,9 @@ class ByteNetDecoder(Module):
                     "b": _noisy_zeros(ks[i + 1], shape_b)}
 
         params = {
-            "embed": init.kaiming_normal(ks[0], (self.num_labels, C2)),
+            # torch kaiming_normal_ on Embedding.weight (num_labels, 2C)
+            # uses fan_in = size(1) = 2C; generate transposed to match
+            "embed": init.kaiming_normal(ks[0], (C2, self.num_labels)).T,
             "input_1x1": wb(1, (C2, C2), (C2,)),
             "encoding_1x1": wb(3, (self.encoding_dim, C2), (C2,)),
             "out1": wb(5, (C2, self.output_dim), (self.output_dim,)),
@@ -125,8 +127,11 @@ class ByteNetDecoder(Module):
         def step(carry, k):
             buf, stopped, length = carry
             window = lax.dynamic_slice_in_dim(enc_pad, k, rf, axis=1)
-            # reference: all-pad window once the encoder steps run out
-            window = jnp.where(k < L_enc, window, jnp.zeros_like(window))
+            # reference: once the encoder steps run out the window is filled
+            # with the pad VALUE (enc_steps_avail.fill_(self.pad_label),
+            # bytenet_decoder.py:170)
+            window = jnp.where(k < L_enc, window,
+                               jnp.full_like(window, self.pad))
             logits = self.linear(params, buf, window)     # (B, num_labels)
             next_label = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # stop-mask bookkeeping (bytenet_decoder.py:181-184): the stop

@@ -70,6 +70,10 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
     assert model.entry_kwidth == 2, "fast path implemented for k=2"
     for (_, _, k, _) in model.layers:
         assert k == 2, "fast path implemented for k=2 blocks"
+    assert model.in_dim == model.out_dim, (
+        "one-hot feedback needs in_dim == out_dim: sampled levels are drawn "
+        f"from {model.out_dim} classes but encoded into {model.in_dim} "
+        "input channels (out-of-range levels would one-hot to all-zeros)")
     B, L0, C_in = prime.shape
     stack = model._stack()
     dilations = [d for (_, _, _, d) in model.layers]
@@ -81,20 +85,15 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
 
     def full_layer_inputs(x):
         outs = []
-        # entry conv over prime (standard parallel path)
+        # entry conv over prime (standard parallel path), then the canonical
+        # block forward — only each layer's INPUT history is captured
         from wavenet_speech_tpu.ops.conv import causal_conv1d
 
         h = causal_conv1d(x, entry_p["w"], entry_p["b"], dilation=1)
         for i in range(n_layers):
             outs.append(h)
             lp = _layer_params(params["stack"], stack, i)
-            gw, gb = lp["block"]["gate"]["w"], lp["block"]["gate"]["b"]
-            g = causal_conv1d(h, gw, gb, dilation=dilations[i])
-            C = g.shape[-1] // 2
-            act = gated_activation(g[..., :C], g[..., C:])
-            o = act @ lp["block"]["out1x1"]["w"][0] + lp["block"]["out1x1"]["b"]
-            rp = lp["block"]["residual_proj"]
-            h = o[..., :C] + h @ rp["w"] + rp["b"]
+            h, _ = stack._block(stack.layers[i]).apply(lp["block"], h)
         return outs  # list of (B, L0, C) per-layer input histories
 
     layer_histories = full_layer_inputs(prime)
@@ -112,9 +111,6 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
 
     queues = tuple(init_queue(layer_histories[i], dilations[i])
                    for i in range(n_layers))
-    # entry conv queue: previous raw input frame (k=2, d=1)
-    x_prev = prime[:, -1, :]
-
     out_dim = model.out_dim
     o1, o2 = params["out1"], params["out2"]
 
@@ -129,14 +125,9 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
         return level.astype(jnp.int32), probs
 
     def step(carry, k_t):
-        x_prev, queues = carry
-        # current input frame x_t is produced from the previous sample, so
-        # the carry holds the one-hot of the last emitted level
-        x_t = x_prev
-        # entry conv (k=2, d=1): needs raw x at t-1 and t -> we fold the
-        # "previous raw frame" into the carry as part of x_prev handling:
-        # x_prev := (raw_prev, raw_curr) pair
-        raw_prev, raw_curr = x_t
+        # the entry conv (k=2, d=1) needs the raw input at t-1 and t, so the
+        # carry holds the last two raw (one-hot) frames plus the ring buffers
+        (raw_prev, raw_curr), queues = carry
         h = raw_prev @ entry_p["w"][0] + raw_curr @ entry_p["w"][1] + entry_p["b"]
         skips = jnp.zeros((B, out_dim), h.dtype)
         new_queues = []

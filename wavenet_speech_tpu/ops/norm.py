@@ -38,4 +38,10 @@ class LayerNorm(Module):
         n = x.shape[self.axis]
         var = jnp.sum((x - mean) ** 2, axis=self.axis, keepdims=True) / max(n - 1, 1)
         std = jnp.sqrt(var)
-        return params["gamma"] * (x - mean) / (std + self.eps) + params["beta"]
+        # broadcast gamma/beta along the normalized axis (not blindly the
+        # last axis, which would scale the wrong dim for axis != -1)
+        shape = [1] * x.ndim
+        shape[self.axis] = self.features
+        gamma = params["gamma"].reshape(shape)
+        beta = params["beta"].reshape(shape)
+        return gamma * (x - mean) / (std + self.eps) + beta

@@ -110,7 +110,13 @@ def fused_gated_block(x, gate_w, gate_b, out_w, out_b, res_w, res_b,
 
 def _forward(x, gate_w, gate_b, out_w, out_b, res_w, res_b, dilation,
              tile_l):
-    if not pallas_available():
+    from wavenet_speech_tpu.parallel.halo import current_seq_axis
+
+    # Under a sequence-sharded shard_map the causal left context must come
+    # from the neighbor shard (halo exchange in causal_conv1d); this kernel
+    # zero-pads, which is only correct for unsharded sequences — fall back
+    # to the XLA composite (whose convs do the ppermute halo exchange).
+    if not pallas_available() or current_seq_axis() is not None:
         return _xla_reference(x, gate_w, gate_b, out_w, out_b, res_w, res_b,
                               dilation=dilation)
     B, L, C_in = x.shape
