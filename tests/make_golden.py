@@ -36,7 +36,7 @@ def build():
     cp = clf.init(jax.random.PRNGKey(43))
     signal = jnp.asarray(batch.signal)
     base_out = base.apply(bp, signal)
-    logits = clf.apply(cp, signal)
+    logits = clf.apply(cp, base_out)  # base->ctc pipeline (Model.predict)
     loss = ctc_loss(logits,
                     jnp.full((2,), logits.shape[1], jnp.int32),
                     jnp.asarray(batch.labels),

@@ -110,8 +110,10 @@ def test_e2e_overfit_joint_wavenet_ctc():
     assert per_char is not None and per_char < 0.3, f"per-char CTC {per_char}"
 
     # greedy decode must reproduce the target sequences exactly (bit-match
-    # fixture, BASELINE north star)
-    logits = clf.apply(state.params["ctc"], batch["signal"])
+    # fixture, BASELINE north star); decode through the same base->ctc
+    # pipeline used in training and in facade Model.predict
+    logits = clf.apply(state.params["ctc"],
+                       base.apply(state.params["base"], batch["signal"]))
     decoded = greedy_ctc_decode(np.asarray(logits))
     labels = np.asarray(batch["labels"])
     lens = np.asarray(batch["label_lengths"])

@@ -72,14 +72,17 @@ def build_from_config(cfg):
     step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
                                  donate=False, compute_dtype=compute_dtype,
                                  logit_length_fn=logit_length_fn)
-    eval_step = make_eval_step(model.model_base, model.model_ctc, loss)
+    eval_step = make_eval_step(model.model_base, model.model_ctc, loss,
+                               compute_dtype=compute_dtype,
+                               logit_length_fn=logit_length_fn)
     # optional XE-only pretraining phase (two-phase training of
     # legacy_code/wavenet_ctc_artificial.py:146-164)
     xe_iters = int(t.get("xe_pretrain_iters", 0) or 0)
     if xe_iters > 0 and loss_choice == "joint":
         xe_step = make_joint_train_step(
             model.model_base, model.model_ctc, tx,
-            JointLoss("joint", ctc_weight=0.0), donate=False)
+            JointLoss("joint", ctc_weight=0.0), donate=False,
+            compute_dtype=compute_dtype, logit_length_fn=logit_length_fn)
     else:
         xe_step = None
     return dataset, model, state, (step, xe_step, xe_iters), eval_step, t

@@ -67,6 +67,9 @@ class _GaussianBase:
 
     def _picoamps(self, seq: np.ndarray) -> np.ndarray:
         ks = kmer_ids(seq, trim=2)
+        # reference quirk kept verbatim: upsampling <= 1 skips the branch
+        # entirely, so random_upsample is ignored at upsampling=1
+        # (gaussian_kmer_model.py:61-66)
         if self.upsampling > 1:
             if self.random_upsample:
                 ks = random_upsample(ks, self.upsampling, self.rng)

@@ -99,23 +99,30 @@ class QueueLoader:
                                 labels_pad_to=labels_pad_to)
         self._threads = []
         for w in range(num_workers):
-            for split_keys, q in ((self.train_keys, self.train_queue),
-                                  (self.valid_keys, self.valid_queue)):
+            for i, (split_keys, q) in enumerate(
+                    ((self.train_keys, self.train_queue),
+                     (self.valid_keys, self.valid_queue))):
                 t = threading.Thread(
                     target=self._producer,
                     args=(split_keys, q, np.random.default_rng(
-                        None if seed is None else seed + 1000 + w)),
+                        None if seed is None else seed + 1000 + 2 * w + i),
+                        i == 0),
                     daemon=True,
                 )
                 t.start()
                 self._threads.append(t)
 
-    def _producer(self, keys, q, rng):
+    def _producer(self, keys, q, rng, counted=True):
+        # only TRAIN production consumes the max_iters budget. (The
+        # reference's single global counter, loaders.py:67-71, also counted
+        # validation fills, silently shortening training by ~queue_size —
+        # deliberate fix.)
         while not self._stop.is_set():
-            with self._lock:
-                if self._iterations >= self.max_iters:
-                    return
-                self._iterations += 1
+            if counted:
+                with self._lock:
+                    if self._iterations >= self.max_iters:
+                        return
+                    self._iterations += 1
             batch = ecoli_worker_fn(self.hdf5, keys, rng, **self._worker_cfg)
             while not self._stop.is_set():
                 try:

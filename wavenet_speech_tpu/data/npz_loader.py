@@ -90,11 +90,16 @@ class NPZQueueLoader:
         self.max_iters = max_iters
         self._consumed = 0
         per_worker = (max_iters + num_workers - 1) // num_workers
+        # seed=None stays nondeterministic (fresh entropy per worker);
+        # an explicit seed (including 0) gives reproducible streams
+        base_ss = np.random.SeedSequence(seed)
+        worker_seeds = [int(s.generate_state(1)[0])
+                        for s in base_ss.spawn(num_workers)]
         self._procs = [
             ctx.Process(
                 target=_worker,
                 args=(self.paths, batch_size, num_levels, one_hot,
-                      (seed or 0) + w, self._q, self._stop, per_worker),
+                      worker_seeds[w], self._q, self._stop, per_worker),
                 daemon=True,
             )
             for w in range(num_workers)

@@ -84,6 +84,8 @@ class RawSignalGenerator:
         ctg = self.reference[
             self.contigs[self.rng.integers(len(self.contigs))]
         ]["contig"]
+        if ctg.shape[0] <= L:  # short contig: return it whole
+            return np.asarray(ctg[:])
         pos = self.rng.integers(ctg.shape[0] - L)
         return np.asarray(ctg[pos: pos + L])
 

@@ -30,9 +30,16 @@ def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None) -> ocp.Checkpoint
 def save_checkpoint(ckpt_dir: str, state: TrainState,
                     step: Optional[int] = None,
                     max_to_keep: Optional[int] = None) -> int:
-    """Save a TrainState under ckpt_dir/<step>/ ; returns the step saved."""
+    """Save a TrainState under ckpt_dir/<step>/ ; returns the step saved.
+
+    Saving a step that already exists is a no-op (the crash-safe save in the
+    CLI's `finally` often re-saves the step the periodic save just wrote;
+    orbax would raise StepAlreadyExistsError)."""
     step = int(state.step) if step is None else int(step)
     mgr = _manager(ckpt_dir, max_to_keep)
+    if step in mgr.all_steps():
+        mgr.close()
+        return step
     mgr.save(step, args=ocp.args.StandardSave(
         {"params": state.params, "opt_state": state.opt_state,
          "step": np.asarray(step, np.int32)}))

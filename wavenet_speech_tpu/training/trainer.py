@@ -67,7 +67,10 @@ def make_joint_train_step(base_model, ctc_model, tx,
         signal = _cast(batch["signal"], compute_dtype)
         cparams = _cast(params, compute_dtype)
         signal_pred = base_model.apply(cparams["base"], signal)
-        logits = ctc_model.apply(cparams["ctc"], signal)
+        # the classifier reads the WaveNet's output distribution, exactly as
+        # in inference (facade Model.predict; reference Model.py:55-59,
+        # legacy_code/train.py:31-33 "run classifier on wavenet output")
+        logits = ctc_model.apply(cparams["ctc"], signal_pred)
         # reference semantics: CTC over full logit length (Loss.py:50);
         # logit_length_fn maps true signal lengths -> per-seq logit lengths
         # so statically-padded batches don't train blanks on pad frames
@@ -139,18 +142,29 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(base_model, ctc_model, loss: Optional[JointLoss] = None):
-    """Jitted validation step returning the same metrics without updates."""
+def make_eval_step(base_model, ctc_model, loss: Optional[JointLoss] = None,
+                   compute_dtype=None,
+                   logit_length_fn: Optional[Callable] = None):
+    """Jitted validation step returning the same metrics (and the same
+    objective weighting / length handling) as the train step, without
+    updates."""
     loss = loss or JointLoss("joint")
 
     def eval_fn(params, batch):
-        signal = batch["signal"]
-        signal_pred = base_model.apply(params["base"], signal)
-        logits = ctc_model.apply(params["ctc"], signal)
+        signal = _cast(batch["signal"], compute_dtype)
+        cparams = _cast(params, compute_dtype)
+        signal_pred = base_model.apply(cparams["base"], signal)
+        logits = ctc_model.apply(cparams["ctc"], signal_pred)
+        kwargs = {}
+        if logit_length_fn is not None:
+            kwargs = {"logit_lengths": logit_length_fn(batch["signal_lengths"]),
+                      "signal_lengths": batch["signal_lengths"]}
         xe, ctc = loss.calculate(signal, signal_pred, logits,
-                                 batch["labels"], batch["label_lengths"])
+                                 batch["labels"], batch["label_lengths"],
+                                 **kwargs)
+        total = (ctc if xe is None
+                 else loss.joint_weight * xe + loss.ctc_weight * ctc)
         return {"xe_loss": (jnp.zeros(()) if xe is None else xe),
-                "ctc_loss": ctc,
-                "total_loss": ctc if xe is None else loss.joint_weight * xe + ctc}
+                "ctc_loss": ctc, "total_loss": total}
 
     return jax.jit(eval_fn)
