@@ -18,6 +18,16 @@ from typing import Optional
 import numpy as np
 
 
+def _logit_length_fn(cfg, model, model_type):
+    """Maps true signal lengths -> per-sequence logit lengths for the
+    model's CTC head (classifier downsample / RawCTCNet featurizer growth,
+    models/raw_ctcnet.py output_length)."""
+    if model_type == "wavenet-ctc":
+        pool = cfg.get("model", {}).get("classifier", {}).get("downsample", 1)
+        return lambda sl: sl // pool
+    return model.model_ctc.output_length
+
+
 def build_from_config(cfg):
     import jax
 
@@ -42,6 +52,7 @@ def build_from_config(cfg):
         nworkers=t["nworkers"], seed=t.get("seed"),
         upsampling=t.get("upsampling", 4),
         sample_noise=t.get("sample_noise", 2.0),
+        pad_to=t.get("pad_to"), labels_pad_to=t.get("labels_pad_to"),
     )
 
     model_type = cfg.get("model", {}).get("type", "wavenet-ctc")
@@ -61,14 +72,8 @@ def build_from_config(cfg):
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
-    logit_length_fn = None
-    if t.get("length_aware_ctc"):
-        if model_type == "wavenet-ctc":
-            pool = cfg.get("model", {}).get("classifier", {}).get("downsample", 1)
-            logit_length_fn = lambda sl: sl // pool
-        else:
-            fk = cfg.get("model", {}).get("raw", {}).get("feature_kwidth", 3)
-            logit_length_fn = lambda sl: sl + fk - 1
+    logit_length_fn = (_logit_length_fn(cfg, model, model_type)
+                       if t.get("length_aware_ctc") else None)
     step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
                                  donate=False, compute_dtype=compute_dtype,
                                  logit_length_fn=logit_length_fn)
@@ -116,6 +121,7 @@ def train(cfg) -> int:
     best_vloss = float("inf")
     stop_threshold = t.get("early_stop_vloss")
     step_idx = int(state.step)
+    samples_acc = 0
     try:
         while True:
             try:
@@ -128,13 +134,18 @@ def train(cfg) -> int:
                 state, metrics = xe_step_fn(state, dev)  # XE-only phase
             else:
                 state, metrics = step_fn(state, dev)
-            tput.tick(int(np.prod(batch.signal.shape[:2])))
+            samples_acc += int(np.prod(batch.signal.shape[:2]))
 
             if step_idx % t["print_every"] == 0:
                 # sync only here: reading the loss back every step would
                 # serialize the async dispatch pipeline (the tunnel RTT
                 # dominates small steps)
                 meter.add(float(metrics["total_loss"]))
+                # tick AFTER the sync so each window interval spans a full
+                # print period including the device drain — per-step ticks
+                # would measure async dispatch rate, not device throughput
+                tput.tick(samples_acc)
+                samples_acc = 0
                 vloss = float("nan")
                 try:
                     vbatch = dataset.fetch("valid")
@@ -152,9 +163,13 @@ def train(cfg) -> int:
                       f"[{(tput.samples_per_sec or 0):.0f} samples/s]")
                 if not np.isnan(vloss) and vloss < best_vloss:
                     best_vloss = vloss
-                if stop_threshold is not None and meter.value < stop_threshold:
+                # early stop on VALIDATION loss (reference
+                # wavenet_speech.py:78-80); datatypes with no valid stream
+                # fall back to the train moving average
+                stop_crit = vloss if not np.isnan(vloss) else meter.value
+                if stop_threshold is not None and stop_crit < stop_threshold:
                     logger.message(f"early stop at step {step_idx}: "
-                                   f"loss {meter.value:.4f} < {stop_threshold}")
+                                   f"loss {stop_crit:.4f} < {stop_threshold}")
                     break
             if step_idx % t["save_every"] == 0:
                 save_checkpoint(logger.ckpt_dir, state)
@@ -171,31 +186,40 @@ def train(cfg) -> int:
 
 
 def evaluate(cfg) -> int:
+    import jax
+
     from wavenet_speech_tpu.data.prefetch import batch_to_device
     from wavenet_speech_tpu.facade import Decoder
     from wavenet_speech_tpu.training.checkpoint import restore_checkpoint
     from wavenet_speech_tpu.decoding import labels2strings
-    from wavenet_speech_tpu.utils.run_logging import Logger
 
     dataset, model, state, _, eval_fn, t = build_from_config(cfg)
     ckpt = t.get("restore") or f"{t['save_dir'].rstrip('/')}/ckpts/"
     state = restore_checkpoint(ckpt, state)
     decoder = Decoder(t.get("decoder", "argmax"),
                       beam_width=t.get("beam_width", 7))
+    # one jitted forward for decoding (model.predict run eagerly would cost
+    # thousands of serialized dispatches through the tunnel)
+    predict_logits = jax.jit(lambda p, x: model.predict(p, x)[1])
+    llf = _logit_length_fn(cfg, model,
+                           cfg.get("model", {}).get("type", "wavenet-ctc"))
 
     n_batches = t.get("eval_batches", 10)
     losses, identities = [], []
     for i in range(n_batches):
         try:
-            batch = dataset.fetch("valid" if dataset.datatype in
-                                  Dataset_queue_types() else "train")
+            # held-out stream for every datatype (synthetic datatypes have a
+            # dedicated re-seeded valid generator in facade.Dataset)
+            batch = dataset.fetch("valid")
         except StopIteration:
             break
         dev = batch_to_device(batch)
         m = eval_fn(state.params, dev)
         losses.append(float(m["total_loss"]))
-        _, logits = model.predict(state.params, dev["signal"])
-        _, decoded = decoder.decode(np.asarray(logits))
+        logits = predict_logits(state.params, dev["signal"])
+        # exclude statically-padded frames from decoding
+        _, decoded = decoder.decode(
+            np.asarray(logits), lengths=np.asarray(llf(batch.signal_lengths)))
         truth_seqs = [batch.labels[b, : batch.label_lengths[b]]
                       for b in range(batch.labels.shape[0])]
         targets = labels2strings(truth_seqs)
@@ -214,12 +238,6 @@ def evaluate(cfg) -> int:
     return 0
 
 
-def Dataset_queue_types():
-    from wavenet_speech_tpu.facade import Dataset
-
-    return Dataset.QUEUE_TYPES
-
-
 def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
     """Basecall signals from an NPY/NPZ file and emit FASTA.
 
@@ -228,12 +246,23 @@ def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
     import jax
     import numpy as np
 
+    from wavenet_speech_tpu.facade import Model
     from wavenet_speech_tpu.inference import Basecaller
+    from wavenet_speech_tpu.training import TrainState, build_optimizer
     from wavenet_speech_tpu.training.checkpoint import restore_checkpoint
     from wavenet_speech_tpu.utils.config import training_cfg
 
-    dataset, model, state, _steps, _eval, t = build_from_config(cfg)
-    dataset.close()
+    # inference needs no Dataset / train steps — build just the model and a
+    # state template matching the checkpoint layout
+    t = training_cfg(cfg)
+    model_type = cfg.get("model", {}).get("type", "wavenet-ctc")
+    model = Model(model_type, cfg)
+    params = model.init(jax.random.PRNGKey(t.get("seed") or 0))
+    opt = t["optim"]
+    tx = build_optimizer(opt["type"], opt["learning_rate"],
+                         weight_decay=opt.get("wd") or None,
+                         max_grad_norm=opt.get("max_grad_norm"))
+    state = TrainState.create(params, tx)
     ckpt = t.get("restore") or f"{t['save_dir'].rstrip('/')}/ckpts/"
     state = restore_checkpoint(ckpt, state)
 
@@ -252,7 +281,9 @@ def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
             return logits
 
     caller = Basecaller(model=_Pipe(), params=state.params,
-                        beam_width=t.get("beam_width", 7))
+                        beam_width=t.get("beam_width", 7),
+                        logit_length_fn=_logit_length_fn(cfg, model,
+                                                         model_type))
     seqs, scores = caller(sig)
     lines = []
     for i, (s, sc) in enumerate(zip(seqs, scores)):

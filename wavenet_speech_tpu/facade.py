@@ -165,11 +165,17 @@ class Dataset:
             self.data = mk(p, seed)
             self.valid_data = mk(p_valid, vseed)
         elif datatype == "hdf5":
+            # static shapes can't be derived from the HDF5 a priori (signal
+            # length = sum of per-event chunks); callers pass pad_to /
+            # labels_pad_to to compile the train step once instead of once
+            # per batch-shape combination
             self.data = QueueLoader(
                 dataset, num_epochs=p["num_epochs"], max_iters=p["max_iters"],
                 num_workers=kw.get("nworkers", 1),
                 queue_size=kw.get("queue_size", 50), batch_size=bsz,
-                sample_lengths=lengths, num_levels=nlevels, seed=seed)
+                sample_lengths=lengths, num_levels=nlevels, seed=seed,
+                pad_to=kw.get("pad_to"),
+                labels_pad_to=kw.get("labels_pad_to"))
         else:
             raise NotImplementedError("raw-hdf5 currently unsupported "
                                       "(matches reference Dataset.py:57-58)")

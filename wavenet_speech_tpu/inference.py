@@ -36,15 +36,18 @@ class Basecaller:
     blank: int = 0
     max_label_len: Optional[int] = None
     pad_to_multiple: int = 128        # bucket lengths to limit recompiles
+    logit_length_fn: Optional[object] = None  # input lens -> logit lens
+                                      # (e.g. model.output_length); identity
+                                      # if None
 
     def __post_init__(self):
         if self.beam_width > 0:
             @partial(jax.jit, static_argnames=("max_len",))
-            def _run(params, x, max_len):
+            def _run(params, x, lengths, max_len):
                 logits = self.model.apply(params, x)
                 return ctc_beam_search_jax(
-                    logits, beam_width=self.beam_width, blank=self.blank,
-                    max_label_len=max_len)
+                    logits, lengths=lengths, beam_width=self.beam_width,
+                    blank=self.blank, max_label_len=max_len)
             self._run = _run
         else:
             @jax.jit
@@ -70,17 +73,29 @@ class Basecaller:
             return x
         return np.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
 
-    def __call__(self, signal) -> Tuple[List[str], List[float]]:
-        """signal: (B, L, C) numpy/jnp -> (sequences, scores)."""
-        x = self._bucket(np.asarray(signal, np.float32))
+    def __call__(self, signal, lengths=None) -> Tuple[List[str], List[float]]:
+        """signal: (B, L, C) numpy/jnp -> (sequences, scores).
+
+        lengths: optional (B,) true signal lengths; defaults to the
+        pre-padding L. Frames past each length (including the bucket
+        padding this class adds) are excluded from decoding."""
+        raw = np.asarray(signal, np.float32)
+        x = self._bucket(raw)
+        if lengths is None:
+            lengths = np.full((raw.shape[0],), raw.shape[1], np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        logit_lens = (np.asarray(self.logit_length_fn(lengths), np.int32)
+                      if self.logit_length_fn is not None else lengths)
         if self.beam_width > 0:
             S = self.max_label_len or x.shape[1]
             prefixes, plens, scores = self._run(self.params, jnp.asarray(x),
+                                                jnp.asarray(logit_lens),
                                                 max_len=S)
             prefixes, plens = np.asarray(prefixes), np.asarray(plens)
             seqs = labels2strings([prefixes[b, 0, : plens[b, 0]]
                                    for b in range(prefixes.shape[0])])
             return seqs, [float(s) for s in np.asarray(scores)[:, 0]]
         labels = np.asarray(self._run_greedy(self.params, jnp.asarray(x)))
-        return labels2strings(ctc_collapse(labels, blank=self.blank)), \
+        return labels2strings(ctc_collapse(labels, lengths=logit_lens,
+                                           blank=self.blank)), \
             [0.0] * labels.shape[0]
