@@ -43,6 +43,33 @@ def test_basecaller_bucketing_compiles_once(rng):
         assert len(seqs) == 2
 
 
+def test_basecaller_padding_excluded_from_decode(rng):
+    """The bucket padding the caller adds must be excluded from decoding:
+    L=50 input (zero-padded to 64 internally) decodes identically to the
+    same pre-padded tensor with explicit lengths=50 — and differently from
+    treating all 64 frames as real signal (the pre-fix behavior)."""
+    net = _net()
+    params = net.init(jax.random.PRNGKey(2))
+    fk = 3  # feature_kwidth -> logit length L + fk - 1
+    caller = Basecaller(model=net, params=params, beam_width=4,
+                        pad_to_multiple=64,
+                        logit_length_fn=lambda sl: sl + fk - 1)
+    sig = rng.standard_normal((2, 50, 1)).astype(np.float32)
+    seqs_a, _ = caller(sig)                        # default lengths = 50
+    padded = np.pad(sig, ((0, 0), (0, 14), (0, 0)))
+    seqs_b, _ = caller(padded, lengths=np.full((2,), 50))
+    assert seqs_a == seqs_b
+    # decoding the pad frames as real signal changes the output
+    seqs_full, _ = caller(padded)                  # default lengths = 64
+    assert seqs_full != seqs_a
+    # greedy path honors lengths the same way
+    g = Basecaller(model=net, params=params, beam_width=0,
+                   pad_to_multiple=64, logit_length_fn=lambda sl: sl + fk - 1)
+    ga, _ = g(sig)
+    gb, _ = g(padded, lengths=np.full((2,), 50))
+    assert ga == gb
+
+
 def test_cli_basecall_roundtrip(tmp_path, rng):
     from wavenet_speech_tpu.cli import main
     from wavenet_speech_tpu.utils.config import json_to_config
