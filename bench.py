@@ -57,7 +57,8 @@ threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
-         steps: int = 10, warmup: int = 3, bf16: bool = True):
+         steps: int = 10, warmup: int = 3, bf16: bool = True,
+         remat: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -73,11 +74,12 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     classifier_dils = [1, 2, 4, 8, 16, 32] * 3
     base = WaveNet(num_levels, 2,
                    tuple((num_levels, num_levels, 2, d) for d in wavenet_dils),
-                   num_levels, softmax=False, remat=True)
+                   num_levels, softmax=False, remat=remat)
     clf = WaveNetClassifier(num_levels, 5,
                             tuple((num_levels, num_levels, 2, d)
                                   for d in classifier_dils),
-                            256, pool_kernel_size=4, softmax=False, remat=True)
+                            256, pool_kernel_size=4, softmax=False,
+                            remat=remat)
 
     key = jax.random.PRNGKey(0)
     params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
@@ -127,4 +129,10 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    a = ap.parse_args()
+    main(steps=a.steps, remat=not a.no_remat)
