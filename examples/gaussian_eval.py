@@ -35,7 +35,11 @@ def _tick():
     _progress["t"] = time.time()
 
 
-def _watchdog(stall_seconds: float = 420.0):
+def _watchdog(stall_seconds: float = None):
+    if stall_seconds is None:
+        # first jit of the full-scale (2048-feat) model can exceed the old
+        # 420s default; configurable so big runs don't re-exec mid-compile
+        stall_seconds = float(os.environ.get("GAUSS_STALL_SECS", 420.0))
     while True:
         time.sleep(10)
         if _progress["armed"] and time.time() - _progress["t"] > stall_seconds:
@@ -44,16 +48,22 @@ def _watchdog(stall_seconds: float = 420.0):
             os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def build_model(scale: float, remat: bool = True):
+def build_model(scale: float, remat: bool = True, nhid: int = 512):
+    """The reference eval checkpoint's architecture (0.6-eval notebook cell
+    8): featurizer width nfeats=2048, residual stack width nhid=512 (the
+    stack is NOT featurizer-wide), 10 x [1,2,4,8,16] dilation cycles for
+    each kwidth in {2,3} = 100 blocks, out_dim 512. `scale` scales the
+    featurizer width; `nhid` is the stack width (512 = reference)."""
     from wavenet_speech_tpu.models import RawCTCNet
 
     nfeats = max(int(2048 * scale), 16)
-    out_dim = max(int(512 * scale), 16)
+    nhid = max(int(nhid * min(scale * 4, 1.0)), 16)
+    out_dim = nhid
     reps = max(int(10 * min(scale * 8, 1.0)), 1)
-    # reference eval config: 10 x [1,2,4,8,16] cycles x kwidths {2,3}
-    cycle = tuple((nfeats, nfeats, 2, d) for d in (1, 2, 4, 8, 16)) \
-        + tuple((nfeats, nfeats, 3, d) for d in (1, 2, 4, 8, 16))
-    return RawCTCNet(nfeats, 3, 5, cycle * reps, out_dim, positions=False,
+    dils = (1, 2, 4, 8, 16) * reps
+    layers = tuple((nhid, nhid, 2, d) for d in dils) \
+        + tuple((nhid, nhid, 3, d) for d in dils)
+    return RawCTCNet(nfeats, 3, 5, layers, out_dim, positions=False,
                      softmax=False, causal=False, remat=remat)
 
 
@@ -81,6 +91,11 @@ def main(argv=None):
     ap.add_argument("--cosine", action="store_true",
                     help="warmup + cosine-decay LR schedule over --steps "
                          "(reference protocol is constant LR)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear warmup steps, then constant LR (keeps the "
+                         "run length open-ended, unlike --cosine)")
+    ap.add_argument("--nhid", type=int, default=512,
+                    help="residual-stack width (reference: 512)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -111,7 +126,8 @@ def main(argv=None):
         pad_to=(lengths[1] - 1 - 8) * (upsampling + (0 if args.smoke else 1)),
         labels_pad_to=lengths[1] - 1)
 
-    model = build_model(args.scale, remat=not (args.smoke or args.no_remat))
+    model = build_model(args.scale, remat=not (args.smoke or args.no_remat),
+                        nhid=args.nhid)
     params = model.init(jax.random.PRNGKey(0))
     lr = args.lr
     if args.cosine:
@@ -120,11 +136,20 @@ def main(argv=None):
         lr = optax.warmup_cosine_decay_schedule(
             0.0, args.lr, warmup_steps=min(500, args.steps // 10),
             decay_steps=args.steps, end_value=args.lr * 0.05)
+    elif args.warmup:
+        import optax
+
+        lr = optax.linear_schedule(0.0, args.lr, args.warmup)
     tx = build_optimizer("adamax", lr)
     state = TrainState.create(params, tx)
+    # reference pipeline normalizes raw signal through BatchNorm1d(1)
+    # (train notebook cell 11) before RawCTCNet; done in f32 pre-cast
+    from wavenet_speech_tpu.ops.norm import batch_standardize
+
     step = make_ctc_train_step(
         model, tx, donate=False,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        preprocess=batch_standardize)
 
     start = 0
     if args.ckpt_dir:
@@ -173,7 +198,7 @@ def main(argv=None):
         _tick()
         batch = eval_loader.fetch()
         dev = batch_to_device(batch)
-        logits = model.apply(state.params, dev["signal"])
+        logits = model.apply(state.params, batch_standardize(dev["signal"]))
         from wavenet_speech_tpu.ops.ctc import ctc_loss_per_seq
 
         T = logits.shape[1]

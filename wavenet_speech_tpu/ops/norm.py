@@ -17,6 +17,20 @@ from wavenet_speech_tpu.nn.core import Module, Params
 from wavenet_speech_tpu.nn import initializers as init
 
 
+def batch_standardize(x, eps: float = 1e-5):
+    """Normalize a raw-signal batch to zero mean / unit variance over ALL
+    non-channel axes — the training-mode statistics of the reference's
+    nn.BatchNorm1d(1) base model (Model.py:51; Gaussian train notebook
+    `batch_norm(signals.unsqueeze(1))`). The learnable affine of torch BN
+    is exactly absorbed by the conv that follows, so this parameter-free
+    form has identical capacity. Padding frames participate in the
+    statistics, as in the reference."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
 @dataclasses.dataclass(frozen=True)
 class LayerNorm(Module):
     """Normalizes over the channel axis (last axis in NLC layout; the

@@ -106,18 +106,26 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
                         use_logit_lengths: bool = False,
                         length_fn: Optional[Callable[[int], int]] = None,
                         donate: bool = True,
-                        compute_dtype=None):
+                        compute_dtype=None,
+                        preprocess: Optional[Callable] = None):
     """Jitted CTC-only step for a single encoder (e.g. RawCTCNet).
 
     average_per_logit: divide the summed CTC by T (reference per-logit
     average, pretrain_tnt.py:159-162).
     use_logit_lengths: derive per-sequence logit lengths from the batch's
     signal_lengths via length_fn (the reference always uses full length).
-    compute_dtype: see make_joint_train_step."""
+    compute_dtype: see make_joint_train_step.
+    preprocess: optional signal -> signal map applied in the input dtype
+    BEFORE the compute_dtype cast (e.g. batch-stat normalization of raw
+    pico-amp signals, the reference's BatchNorm1d(1) base model — raw
+    values quantize badly if cast to bf16 un-normalized)."""
 
     def loss_fn(params, batch):
+        signal = batch["signal"]
+        if preprocess is not None:
+            signal = preprocess(signal)
         logits = model.apply(_cast(params, compute_dtype),
-                             _cast(batch["signal"], compute_dtype))
+                             _cast(signal, compute_dtype))
         B, T = logits.shape[0], logits.shape[1]
         if use_logit_lengths and length_fn is not None:
             logit_lengths = length_fn(batch["signal_lengths"])
