@@ -67,3 +67,63 @@ def test_max_label_len_cap():
     prefixes, plens, scores = ctc_beam_search_jax(logits, beam_width=4,
                                                   max_label_len=2)
     assert int(plens.max()) <= 2
+
+
+def test_wide_alphabet_matches_host():
+    """The O(W^2 S) parent-match merge must stay exact for alphabets much
+    larger than DNA (the regime the old all-pairs merge couldn't afford)."""
+    rng = np.random.default_rng(21)
+    T, C, W = 12, 12, 6
+    logits = rng.standard_normal((1, T, C)).astype(np.float32)
+    prefixes, plens, scores = ctc_beam_search_jax(logits, beam_width=W)
+    host = _host_hyps(logits[0], W)
+    dev_best = tuple(int(x) for x in np.asarray(prefixes[0, 0])[: int(plens[0, 0])])
+    assert dev_best == tuple(host[0][0])
+    np.testing.assert_allclose(float(scores[0, 0]), host[0][1], rtol=1e-4)
+
+
+def test_emission_times():
+    """ctcdecode `times` parity: each label's emission frame (eval notebook
+    cells 19-22). Peaked logits A at frames 2-3, blank gap, G at frame 6."""
+    T, C = 8, 3
+    logits = np.full((1, T, C), -8.0, np.float32)
+    logits[0, :, 0] = 0.0          # blank elsewhere
+    logits[0, 2:4, 1] = 8.0        # 'A' held frames 2-3 (collapses)
+    logits[0, 6, 2] = 8.0          # 'G' at frame 6
+    prefixes, plens, scores, times = ctc_beam_search_jax(
+        logits, beam_width=4, return_times=True)
+    assert int(plens[0, 0]) == 2
+    assert tuple(int(x) for x in np.asarray(prefixes[0, 0, :2])) == (1, 2)
+    assert int(times[0, 0, 0]) == 2  # 'A' first emitted at frame 2
+    assert int(times[0, 0, 1]) == 6  # 'G' emitted at frame 6
+
+
+def test_seq_sharded_beam_matches_single_device():
+    """North-star distributed beam: logits time-sharded over a 4-way "seq"
+    axis, hypothesis state ppermuted between shards; must equal the
+    single-device decode exactly (same fixed-shape algorithm, same frames)."""
+    from wavenet_speech_tpu.decoding.distributed import seq_sharded_beam_decode
+    from wavenet_speech_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    B, T, C, W, S = 4, 32, 5, 7, 16
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    lengths = np.array([32, 29, 17, 7], np.int32)  # cross shard boundaries
+
+    p1, l1, s1, t1 = ctc_beam_search_jax(
+        logits, lengths, beam_width=W, max_label_len=S, return_times=True)
+
+    mesh = make_mesh(data=2, model=1, seq=4)
+    pd, ld, sd, td = seq_sharded_beam_decode(
+        mesh, logits, lengths, beam_width=W, max_label_len=S,
+        data_sharded=True)
+
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(s1), rtol=1e-5)
+    for b in range(B):
+        for w in range(W):
+            n = int(l1[b, w])
+            np.testing.assert_array_equal(np.asarray(pd[b, w, :n]),
+                                          np.asarray(p1[b, w, :n]))
+            np.testing.assert_array_equal(np.asarray(td[b, w, :n]),
+                                          np.asarray(t1[b, w, :n]))

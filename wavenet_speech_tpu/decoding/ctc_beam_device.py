@@ -7,16 +7,34 @@ Why fixed shapes: XLA traces once; the classic hash-map prefix merge is
 re-expressed as dense tensor ops:
 
   state  : prefixes (W, S) int32, plens (W,), pb/pnb (W,) f32 log-probs
-           (prefix probability ending in blank / non-blank)
+           (prefix probability ending in blank / non-blank),
+           times (W, S) int32 emission frame of each label
   step   : build W*C candidates: W "stay" candidates (extend by blank OR
            repeat last label — same prefix, so pre-merged) and W*(C-1)
-           "extend" candidates; equal candidate prefixes are merged by a
-           dense pairwise-equality matrix + masked logsumexp; top-W by
-           total probability are kept.
+           "extend" candidates; merge, keep top-W by total probability.
 
-The pairwise merge is O((W*C)^2 * S) elementwise work on the VPU — for the
-reference's beam 7 / 5 labels this is ~1.2k comparisons per frame, far
-below one conv layer's cost. vmap batches the whole search.
+Merging exploits the beam invariant that all finite-probability beams hold
+*distinct* prefixes (established by induction from the all-empty initial
+state): stay candidates are therefore pairwise distinct, and extend
+candidates from distinct live parents are pairwise distinct (equal extended
+prefixes would force equal parents).  The ONLY possible merge is
+stay(w) <- extend(v, c) where prefix_v + (c,) == prefix_w, i.e. v is the
+"parent" of w.  That parent relation is a (W, W) masked-prefix comparison —
+O(W^2 * S) work per frame instead of the O((W*C)^2 * S) all-pairs
+candidate-equality matrix a naive dense merge needs (36x fewer comparisons
+at the reference's W=7, C=5; the win grows quadratically in C, making the
+kernel usable for real speech alphabets).
+
+Dead beam slots (log-prob -inf, e.g. top-k filler early on) may duplicate a
+live prefix; they are excluded as merge *targets* (alive gate) so they can
+never siphon probability mass, and their own candidates carry -inf mass, so
+the distinct-live-prefix invariant is preserved.
+
+`times` reproduces the native ctcdecode's per-label timestep output (eval
+notebook cells 19-22): times[w, s] is the frame at which hypothesis w's
+s-th label was appended.  When a stay and an extend candidate merge, the
+merged hypothesis keeps the times of whichever path family carries more
+probability mass (ctcdecode reports the best path's frames).
 
 Validated against decoding/prefix_beam.py (the exhaustive-checked host
 reference) in tests/test_ctc_beam_device.py.
@@ -35,22 +53,18 @@ from jax import lax
 NEG_INF = -1e30
 
 
-def _logaddexp(a, b):
-    return jnp.logaddexp(a, b)
-
-
 def _totals(pb, pnb):
     return jnp.logaddexp(pb, pnb)
 
 
-def _beam_step(state, lp, *, beam_width: int, num_labels: int, blank: int,
-               max_len: int):
-    """One frame of prefix beam search. state = (prefixes, plens, pb, pnb);
-    lp = (C,) log-probs for this frame."""
-    prefixes, plens, pb, pnb = state
+def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int):
+    """One frame of prefix beam search.
+    state = (prefixes, plens, pb, pnb, times); lp = (C,) log-probs; t = frame."""
+    prefixes, plens, pb, pnb, times = state
     W, S = prefixes.shape
     C = num_labels
     total = _totals(pb, pnb)  # (W,)
+    alive = total > NEG_INF / 2  # (W,)
 
     last = jnp.where(
         plens > 0,
@@ -73,101 +87,127 @@ def _beam_step(state, lp, *, beam_width: int, num_labels: int, blank: int,
     can_extend = (labels[None, :] != blank) & (plens[:, None] < max_len)
     ext_pnb = jnp.where(can_extend, ext_pnb, NEG_INF)
 
-    # extended prefixes: prefix with label written at position plen
+    # --- merge: stay(w) absorbs extend(v, c) when prefix_v + (c,) == prefix_w
+    # masked prefix equality over v's valid positions: (v, w)
+    care = jnp.arange(S)[None, None, :] < plens[:, None, None]  # (W, 1, S)
+    eq_vw = jnp.all((prefixes[:, None, :] == prefixes[None, :, :]) | ~care,
+                    axis=-1)  # (W_v, W_w)
+    is_parent = (eq_vw
+                 & (plens[None, :] == plens[:, None] + 1)
+                 & alive[None, :])  # merge targets must be live
+    # contribution of ext(v, last_w) into stay(w)'s non-blank mass
+    c_w = jnp.clip(last, 0, C - 1)  # (W,) last label of target (valid when
+    contrib = jnp.where(is_parent, ext_pnb[:, c_w], NEG_INF)  # is_parent)
+    contrib_mass = jax.nn.logsumexp(contrib, axis=0)  # (W,)
+    # merged times follow the more probable path family (ctcdecode reports
+    # the best path's per-label frames): if the merged-in extension mass
+    # dominates the prefix's prior mass, adopt the winning parent's times
+    # with this frame written at the last position
+    vstar = jnp.argmax(contrib, axis=0)  # (W,) dominant parent per target
+    par_times = jnp.where(
+        jnp.arange(S)[None, :] == (plens - 1)[:, None], t, times[vstar])
+    stay_times = jnp.where(
+        (contrib_mass > _totals(stay_pb, stay_pnb))[:, None],
+        par_times, times)
+    stay_pnb = jnp.logaddexp(stay_pnb, contrib_mass)
+    # consumed extends must leave the candidate pool (mass moved to stay)
+    consumed = jnp.any(
+        is_parent[:, :, None] & (last[None, :, None] == labels[None, None, :]),
+        axis=1)  # (W_v, C)
+    ext_pnb = jnp.where(consumed, NEG_INF, ext_pnb)
+
+    # extended prefixes/times: label c / frame t written at position plen
     pos_onehot = (jnp.arange(S)[None, :] == plens[:, None])  # (W, S)
-    # (W, C, S): broadcast each beam's prefix, write label c at plens[w]
     ext_prefixes = jnp.where(pos_onehot[:, None, :],
                              labels[None, :, None],
-                             prefixes[:, None, :])
+                             prefixes[:, None, :])  # (W, C, S)
+    ext_times = jnp.broadcast_to(
+        jnp.where(pos_onehot[:, None, :], t, times[:, None, :]),
+        (W, C, S))  # (W, C, S)
     ext_plens = jnp.minimum(plens + 1, max_len)
 
     # --- assemble candidate set: W stay + W*C extend (blank col masked) ---
     cand_prefixes = jnp.concatenate(
         [prefixes, ext_prefixes.reshape(W * C, S)], axis=0)  # (N, S)
+    cand_times = jnp.concatenate([stay_times, ext_times.reshape(W * C, S)],
+                                 axis=0)
     cand_plens = jnp.concatenate(
         [plens, jnp.broadcast_to(ext_plens[:, None], (W, C)).reshape(W * C)])
     cand_pb = jnp.concatenate([stay_pb, jnp.full((W * C,), NEG_INF)])
     cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(W * C)])
-    N = W + W * C
-
-    # dead candidates (from -inf parent beams) must not merge with live ones:
-    # tag their length as -1 so they equal nothing
-    alive = _totals(cand_pb, cand_pnb) > NEG_INF / 2
-    cand_plens = jnp.where(alive, cand_plens, -1)
-
-    # --- merge equal prefixes (dense pairwise equality) ---
-    pad_mask = jnp.arange(S)[None, :] < cand_plens[:, None]  # (N, S)
-    masked = jnp.where(pad_mask, cand_prefixes, -1)
-    same_len = cand_plens[:, None] == cand_plens[None, :]
-    same_lab = jnp.all(masked[:, None, :] == masked[None, :, :], axis=-1)
-    eq = same_len & same_lab  # (N, N)
-
-    idx = jnp.arange(N)
-    # representative of each equivalence class = its first member
-    rep = jnp.argmax(eq, axis=1)  # first True along each row
-    is_rep = rep == idx
-    # member[j, i]: candidate i merges into representative j
-    member = (rep[None, :] == idx[:, None]) & alive[None, :]
-    pb_m = jnp.where(member, cand_pb[None, :], NEG_INF)
-    pnb_m = jnp.where(member, cand_pnb[None, :], NEG_INF)
-    merged_pb = jax.nn.logsumexp(pb_m, axis=1)
-    merged_pnb = jax.nn.logsumexp(pnb_m, axis=1)
-    merged_pb = jnp.where(is_rep & alive, merged_pb, NEG_INF)
-    merged_pnb = jnp.where(is_rep & alive, merged_pnb, NEG_INF)
 
     # --- top-W by total probability ---
-    merged_total = _totals(merged_pb, merged_pnb)
-    top_vals, top_idx = lax.top_k(merged_total, W)
-    new_prefixes = cand_prefixes[top_idx]
-    new_plens = jnp.maximum(cand_plens[top_idx], 0)
-    new_pb = merged_pb[top_idx]
-    new_pnb = merged_pnb[top_idx]
-    return (new_prefixes, new_plens, new_pb, new_pnb)
+    top_vals, top_idx = lax.top_k(_totals(cand_pb, cand_pnb), W)
+    return (cand_prefixes[top_idx], cand_plens[top_idx], cand_pb[top_idx],
+            cand_pnb[top_idx], cand_times[top_idx])
+
+
+def beam_init(beam_width: int, max_label_len: int):
+    """Initial beam state for one sequence: slot 0 = empty prefix with
+    probability 1, remaining slots dead. A decode can be resumed from any
+    returned state (the sequence-sharded distributed decoder threads this
+    state across chips)."""
+    W, S = beam_width, max_label_len
+    return (jnp.zeros((W, S), jnp.int32),          # prefixes
+            jnp.zeros((W,), jnp.int32),            # plens
+            jnp.full((W,), NEG_INF).at[0].set(0.0),  # pb
+            jnp.full((W,), NEG_INF),               # pnb
+            jnp.zeros((W, S), jnp.int32))          # times
+
+
+def beam_scan(state, log_probs, ts, length, *, blank: int = 0):
+    """Advance a beam state over frames `log_probs` ((T, C) log-softmax)
+    whose *global* frame indices are `ts` ((T,) int32); frames with
+    ts >= length carry the state through unchanged."""
+    W, S = state[0].shape
+    step = partial(_beam_step, num_labels=log_probs.shape[-1], blank=blank,
+                   max_len=S)
+
+    def scan_fn(st, xt):
+        lp, t = xt
+        new_state = step(st, lp, t)
+        live = t < length  # frames past the valid length carry state through
+        st = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(live, n, o), new_state, st)
+        return st, None
+
+    state, _ = lax.scan(scan_fn, state, (log_probs, ts))
+    return state
+
+
+def beam_finalize(state):
+    """Sort a beam state best-first -> (prefixes, plens, scores, times)."""
+    prefixes, plens, pb, pnb, times = state
+    scores = _totals(pb, pnb)
+    order = jnp.argsort(-scores)
+    return prefixes[order], plens[order], scores[order], times[order]
 
 
 def _search_single(log_probs, length, *, beam_width: int, blank: int,
                    max_label_len: int):
     T, C = log_probs.shape
-    S = max_label_len
-    W = beam_width
-    prefixes0 = jnp.zeros((W, S), jnp.int32)
-    plens0 = jnp.zeros((W,), jnp.int32)
-    pb0 = jnp.full((W,), NEG_INF).at[0].set(0.0)
-    pnb0 = jnp.full((W,), NEG_INF)
-    step = partial(_beam_step, beam_width=W, num_labels=C, blank=blank,
-                   max_len=S)
-
-    def scan_fn(state, xt):
-        lp, t = xt
-        new_state = step(state, lp)
-        live = t < length  # frames past the valid length carry state through
-        state = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(live, n, o), new_state, state)
-        return state, None
-
-    ts = jnp.arange(T)
-    state, _ = lax.scan(scan_fn, (prefixes0, plens0, pb0, pnb0),
-                        (log_probs, ts))
-    prefixes, plens, pb, pnb = state
-    scores = _totals(pb, pnb)
-    order = jnp.argsort(-scores)
-    return prefixes[order], plens[order], scores[order]
+    state = beam_init(beam_width, max_label_len)
+    state = beam_scan(state, log_probs, jnp.arange(T), length, blank=blank)
+    return beam_finalize(state)
 
 
 def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
                         blank: int = 0, max_label_len: Optional[int] = None,
-                        log_input: bool = False
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                        log_input: bool = False, return_times: bool = False
+                        ) -> Tuple[jnp.ndarray, ...]:
     """Batched on-device CTC prefix beam search.
 
     Args:
       logits: (B, T, C) activations (softmaxed internally unless log_input).
       lengths: (B,) valid frame counts (default: T).
       max_label_len: cap on decoded length (default: T).
+      return_times: also return per-label emission frames (the native
+        ctcdecode's `times` output, eval notebook cells 19-22).
     Returns:
       prefixes: (B, W, S) int32 label arrays (0-padded)
       plens:    (B, W) int32 decoded lengths
       scores:   (B, W) f32 log-probabilities, sorted best-first
+      times:    (B, W, S) int32 emission frame per label (if return_times)
     """
     logits = jnp.asarray(logits, jnp.float32)
     B, T, C = logits.shape
@@ -176,4 +216,7 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
     S = int(max_label_len) if max_label_len is not None else T
     fn = partial(_search_single, beam_width=beam_width, blank=blank,
                  max_label_len=S)
-    return jax.vmap(fn)(lp, lengths)
+    prefixes, plens, scores, times = jax.vmap(fn)(lp, lengths)
+    if return_times:
+        return prefixes, plens, scores, times
+    return prefixes, plens, scores
