@@ -61,3 +61,22 @@ def test_native_is_much_faster_than_python():
     t_py = (time.perf_counter() - t0) * (B / 2)
 
     assert t_native < t_py / 5, (t_native, t_py)
+
+
+def test_native_times_match_device():
+    """ctcdecode `times` parity in the native engine: compare against the
+    on-device decoder's times for the best hypothesis."""
+    from wavenet_speech_tpu.decoding.ctc_beam_device import ctc_beam_search_jax
+
+    rng = np.random.default_rng(33)
+    B, T, C = 3, 12, 5
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    labels_n, lens_n, scores_n, times_n = ctc_beam_search_native(
+        logits, beam_width=7, return_times=True)
+    p_d, l_d, s_d, t_d = ctc_beam_search_jax(logits, beam_width=7,
+                                             return_times=True)
+    for b in range(B):
+        n = int(lens_n[b])
+        assert n == int(l_d[b, 0])
+        np.testing.assert_array_equal(labels_n[b, :n], np.asarray(p_d[b, 0, :n]))
+        np.testing.assert_array_equal(times_n[b, :n], np.asarray(t_d[b, 0, :n]))

@@ -9,7 +9,12 @@
 //
 // Exported C ABI (see native/ctc_beam.py for the ctypes binding):
 //   ctc_beam_search_batch(log_probs, B, T, C, lengths, beam_width, blank,
-//                         max_label_len, out_labels, out_lengths, out_scores)
+//                         max_label_len, out_labels, out_lengths, out_scores,
+//                         out_times, num_threads)
+//
+// out_times matches ctcdecode's `times` output (eval notebook cells 19-22):
+// the frame at which each emitted label entered the hypothesis; on a prefix
+// merge the more probable path family's frames win.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libctcbeam.so ctc_beam.cc -lpthread
 
@@ -32,10 +37,10 @@ inline double logaddexp(double a, double b) {
   return m + std::log(std::exp(a - m) + std::exp(b - m));
 }
 
-struct Beam {
-  std::vector<int32_t> prefix;
-  double pb;   // log P(prefix, ends in blank)
-  double pnb;  // log P(prefix, ends in non-blank)
+struct Mass {
+  double pb;                   // log P(prefix, ends in blank)
+  double pnb;                  // log P(prefix, ends in non-blank)
+  std::vector<int32_t> times;  // emission frame of each prefix label
   double total() const { return logaddexp(pb, pnb); }
 };
 
@@ -53,24 +58,25 @@ struct PrefixHash {
 // log-probabilities lp[t*C + c].
 void decode_one(const float* lp, int T, int C, int beam_width, int blank,
                 int max_label_len, int32_t* out_labels, int32_t* out_length,
-                float* out_score) {
-  std::unordered_map<std::vector<int32_t>, std::pair<double, double>,
-                     PrefixHash>
-      beams;
-  beams[{}] = {0.0, kNegInf};
+                float* out_score, int32_t* out_times) {
+  std::unordered_map<std::vector<int32_t>, Mass, PrefixHash> beams;
+  beams[{}] = {0.0, kNegInf, {}};
 
-  std::unordered_map<std::vector<int32_t>, std::pair<double, double>,
-                     PrefixHash>
-      next;
+  std::unordered_map<std::vector<int32_t>, Mass, PrefixHash> next;
   std::vector<std::pair<double, std::vector<int32_t>>> scored;
 
-  auto add = [&next](std::vector<int32_t>&& prefix, double pb, double pnb) {
+  auto add = [&next](std::vector<int32_t>&& prefix, double pb, double pnb,
+                     std::vector<int32_t>&& times) {
     auto it = next.find(prefix);
     if (it == next.end()) {
-      next.emplace(std::move(prefix), std::make_pair(pb, pnb));
+      next.emplace(std::move(prefix), Mass{pb, pnb, std::move(times)});
     } else {
-      it->second.first = logaddexp(it->second.first, pb);
-      it->second.second = logaddexp(it->second.second, pnb);
+      // merged times follow the more probable path family
+      if (logaddexp(pb, pnb) > it->second.total()) {
+        it->second.times = std::move(times);
+      }
+      it->second.pb = logaddexp(it->second.pb, pb);
+      it->second.pnb = logaddexp(it->second.pnb, pnb);
     }
   };
 
@@ -79,28 +85,37 @@ void decode_one(const float* lp, int T, int C, int beam_width, int blank,
     next.clear();
     for (const auto& kv : beams) {
       const std::vector<int32_t>& prefix = kv.first;
-      const double pb = kv.second.first;
-      const double pnb = kv.second.second;
+      const double pb = kv.second.pb;
+      const double pnb = kv.second.pnb;
+      const std::vector<int32_t>& times = kv.second.times;
       const double total = logaddexp(pb, pnb);
 
-      // extend by blank: prefix unchanged, ends in blank
-      add(std::vector<int32_t>(prefix), total + row[blank], kNegInf);
+      // stay candidate, added atomically: blank-extend (ends in blank) plus
+      // repeat-collapse of the last label (ends in non-blank).  One add so
+      // the times-merge comparison sees the prefix's total stay mass — the
+      // same aggregate rule as the on-device kernel.
+      const double stay_pnb =
+          prefix.empty() ? kNegInf : pnb + row[prefix.back()];
+      add(std::vector<int32_t>(prefix), total + row[blank], stay_pnb,
+          std::vector<int32_t>(times));
 
       for (int c = 0; c < C; ++c) {
         if (c == blank) continue;
         const double lpc = row[c];
         if (!prefix.empty() && prefix.back() == c) {
-          // repeat collapses unless separated by blank
-          add(std::vector<int32_t>(prefix), kNegInf, pnb + lpc);
           if (static_cast<int>(prefix.size()) < max_label_len) {
             std::vector<int32_t> ext(prefix);
             ext.push_back(c);
-            add(std::move(ext), kNegInf, pb + lpc);
+            std::vector<int32_t> etimes(times);
+            etimes.push_back(t);
+            add(std::move(ext), kNegInf, pb + lpc, std::move(etimes));
           }
         } else if (static_cast<int>(prefix.size()) < max_label_len) {
           std::vector<int32_t> ext(prefix);
           ext.push_back(c);
-          add(std::move(ext), kNegInf, total + lpc);
+          std::vector<int32_t> etimes(times);
+          etimes.push_back(t);
+          add(std::move(ext), kNegInf, total + lpc, std::move(etimes));
         }
       }
     }
@@ -108,32 +123,37 @@ void decode_one(const float* lp, int T, int C, int beam_width, int blank,
     scored.clear();
     scored.reserve(next.size());
     for (auto& kv : next) {
-      scored.emplace_back(logaddexp(kv.second.first, kv.second.second),
-                          kv.first);
+      scored.emplace_back(kv.second.total(), kv.first);
     }
     const size_t keep = std::min<size_t>(beam_width, scored.size());
     std::partial_sort(scored.begin(), scored.begin() + keep, scored.end(),
                       [](const auto& a, const auto& b) { return a.first > b.first; });
     beams.clear();
     for (size_t i = 0; i < keep; ++i) {
-      beams[scored[i].second] = next[scored[i].second];
+      beams[scored[i].second] = std::move(next[scored[i].second]);
     }
   }
 
   // best beam
   double best = kNegInf;
   const std::vector<int32_t>* best_prefix = nullptr;
+  const std::vector<int32_t>* best_times = nullptr;
   for (const auto& kv : beams) {
-    const double s = logaddexp(kv.second.first, kv.second.second);
+    const double s = kv.second.total();
     if (s > best) {
       best = s;
       best_prefix = &kv.first;
+      best_times = &kv.second.times;
     }
   }
   int n = best_prefix ? static_cast<int>(best_prefix->size()) : 0;
   n = std::min(n, max_label_len);
   for (int i = 0; i < n; ++i) out_labels[i] = (*best_prefix)[i];
   for (int i = n; i < max_label_len; ++i) out_labels[i] = 0;
+  if (out_times) {
+    for (int i = 0; i < n; ++i) out_times[i] = (*best_times)[i];
+    for (int i = n; i < max_label_len; ++i) out_times[i] = 0;
+  }
   *out_length = n;
   *out_score = static_cast<float>(best);
 }
@@ -144,12 +164,13 @@ extern "C" {
 
 // log_probs: (B, T, C) row-major float32 log-probabilities.
 // lengths: (B,) valid frame counts (NULL -> all T).
-// out_labels: (B, max_label_len) int32; out_lengths: (B,); out_scores: (B,).
+// out_labels: (B, max_label_len) int32; out_lengths: (B,); out_scores: (B,);
+// out_times: (B, max_label_len) int32 emission frames (nullable).
 void ctc_beam_search_batch(const float* log_probs, int B, int T, int C,
                            const int32_t* lengths, int beam_width, int blank,
                            int max_label_len, int32_t* out_labels,
                            int32_t* out_lengths, float* out_scores,
-                           int num_threads) {
+                           int32_t* out_times, int num_threads) {
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 1;
@@ -162,7 +183,9 @@ void ctc_beam_search_batch(const float* log_probs, int B, int T, int C,
       decode_one(log_probs + static_cast<size_t>(b) * T * C,
                  std::min(len, T), C, beam_width, blank, max_label_len,
                  out_labels + static_cast<size_t>(b) * max_label_len,
-                 out_lengths + b, out_scores + b);
+                 out_lengths + b, out_scores + b,
+                 out_times ? out_times + static_cast<size_t>(b) * max_label_len
+                           : nullptr);
     }
   };
 

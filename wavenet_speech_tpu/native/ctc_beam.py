@@ -61,6 +61,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),   # out_labels
             ctypes.POINTER(ctypes.c_int32),   # out_lengths
             ctypes.POINTER(ctypes.c_float),   # out_scores
+            ctypes.POINTER(ctypes.c_int32),   # out_times (nullable)
             ctypes.c_int,                      # num_threads
         ]
         lib.ctc_beam_search_batch.restype = None
@@ -79,14 +80,17 @@ def build_error() -> Optional[str]:
 
 def ctc_beam_search_native(logits, beam_width: int = 7, blank: int = 0,
                            lengths=None, max_label_len: Optional[int] = None,
-                           log_input: bool = False, num_threads: int = 0
-                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                           log_input: bool = False, num_threads: int = 0,
+                           return_times: bool = False
+                           ) -> Tuple[np.ndarray, ...]:
     """Batched CTC prefix beam search via the native library.
 
     Args:
       logits: (B, T, C) float; softmaxed internally unless log_input.
+      return_times: also return (B, S) int32 per-label emission frames
+        (the native ctcdecode's `times` output).
     Returns (labels (B, S) int32 0-padded, lengths (B,) int32,
-    scores (B,) float32), best beam per sequence.
+    scores (B,) float32[, times (B, S) int32]), best beam per sequence.
     """
     lib = _load()
     if lib is None:
@@ -103,6 +107,7 @@ def ctc_beam_search_native(logits, beam_width: int = 7, blank: int = 0,
     out_labels = np.zeros((B, S), np.int32)
     out_lengths = np.zeros((B,), np.int32)
     out_scores = np.zeros((B,), np.float32)
+    out_times = np.zeros((B, S), np.int32)
     if lengths is not None:
         lengths = np.ascontiguousarray(lengths, dtype=np.int32)
         len_ptr = lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -114,6 +119,9 @@ def ctc_beam_search_native(logits, beam_width: int = 7, blank: int = 0,
         out_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_times.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         num_threads,
     )
+    if return_times:
+        return out_labels, out_lengths, out_scores, out_times
     return out_labels, out_lengths, out_scores
