@@ -145,3 +145,44 @@ def test_cli_train_and_resume(tmp_path):
     with open(cfg_path, "w") as f:
         json.dump(cfg, f)
     assert main(["evaluate", cfg_path]) == 0
+
+
+def test_batchnorm_running_stats_match_torch():
+    """Eval-mode parity vs torch.nn.BatchNorm1d(1).eval() after identical
+    training batches (reference Model.py:51 raw-ctcnet base)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from wavenet_speech_tpu.facade import BatchNorm1d
+
+    bn = BatchNorm1d(1)
+    params = bn.init(jax.random.PRNGKey(0))
+    tbn = torch.nn.BatchNorm1d(1)
+    tbn.train()
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        x = rng.standard_normal((4, 33, 1)).astype(np.float32) * 3.0 + 1.5
+        y = bn.apply(params, jnp.asarray(x))                 # train forward
+        ty = tbn(torch.from_numpy(x).permute(0, 2, 1))        # (B, C, L)
+        np.testing.assert_allclose(np.asarray(y)[..., 0],
+                                   ty.detach().numpy()[:, 0, :],
+                                   rtol=1e-4, atol=1e-5)
+        params = bn.update_state(params, params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(params["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    # eval mode: small batch normalized with running stats, not its own
+    tbn.eval()
+    import dataclasses
+    bn_eval = dataclasses.replace(bn, use_running=True)
+    xe = rng.standard_normal((1, 9, 1)).astype(np.float32) * 3.0 + 1.5
+    ye = bn_eval.apply(params, jnp.asarray(xe))
+    tye = tbn(torch.from_numpy(xe).permute(0, 2, 1))
+    np.testing.assert_allclose(np.asarray(ye)[..., 0],
+                               tye.detach().numpy()[:, 0, :],
+                               rtol=1e-4, atol=1e-5)

@@ -77,7 +77,7 @@ def build_from_config(cfg):
     step = make_joint_train_step(model.model_base, model.model_ctc, tx, loss,
                                  donate=False, compute_dtype=compute_dtype,
                                  logit_length_fn=logit_length_fn)
-    eval_step = make_eval_step(model.model_base, model.model_ctc, loss,
+    eval_step = make_eval_step(model.eval_base(), model.model_ctc, loss,
                                compute_dtype=compute_dtype,
                                logit_length_fn=logit_length_fn)
     # optional XE-only pretraining phase (two-phase training of

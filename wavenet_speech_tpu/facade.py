@@ -35,24 +35,48 @@ from wavenet_speech_tpu.data import (
 
 @dataclasses.dataclass(frozen=True)
 class BatchNorm1d(Module):
-    """Batch-statistics normalization over (batch, time) for raw signals —
-    the reference uses nn.BatchNorm1d(1) as the 'base' model of the
-    raw-ctcnet pair (Model.py:51). Stateless batch-stat variant (training
-    semantics) with learned scale/shift."""
+    """Batch normalization over (batch, time) for raw signals — the
+    reference uses nn.BatchNorm1d(1) as the 'base' model of the raw-ctcnet
+    pair (Model.py:51), whose eval mode normalizes with RUNNING statistics.
+
+    Training forward (use_running=False) normalizes with current batch
+    stats (biased variance), exactly torch train mode; the running mean /
+    unbiased-variance EMA (torch momentum semantics: new = (1-m)*old +
+    m*batch) is maintained by `update_state`, which the train step calls
+    outside the gradient path. Eval/inference uses the use_running=True
+    variant (`Model.eval_base()`), matching torch .eval()."""
 
     num_features: int = 1
     eps: float = 1e-5
+    momentum: float = 0.1  # torch nn.BatchNorm1d default
+    use_running: bool = False
 
     def init(self, key) -> Params:
         del key
         return {"gamma": jnp.ones((self.num_features,)),
-                "beta": jnp.zeros((self.num_features,))}
+                "beta": jnp.zeros((self.num_features,)),
+                "mean": jnp.zeros((self.num_features,)),   # running stats:
+                "var": jnp.ones((self.num_features,))}     # zero-grad leaves
 
     def apply(self, params: Params, x):
-        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-        var = jnp.var(x, axis=(0, 1), keepdims=True)
+        if self.use_running:
+            mean, var = params["mean"], params["var"]
+        else:
+            mean = jnp.mean(x, axis=(0, 1))
+            var = jnp.var(x, axis=(0, 1))
         return params["gamma"] * (x - mean) * jax.lax.rsqrt(var + self.eps) \
             + params["beta"]
+
+    def update_state(self, old_params: Params, new_params: Params,
+                     *inputs) -> Params:
+        x = inputs[0]
+        n = x.shape[0] * x.shape[1]
+        bm = jnp.mean(x, axis=(0, 1))
+        bv = jnp.var(x, axis=(0, 1)) * (n / max(n - 1, 1))  # unbiased (torch)
+        m = self.momentum
+        return dict(new_params,
+                    mean=(1 - m) * old_params["mean"] + m * bm,
+                    var=(1 - m) * old_params["var"] + m * bv)
 
 
 class Model:
@@ -97,9 +121,17 @@ class Model:
         return {"base": self.model_base.init(k1),
                 "ctc": self.model_ctc.init(k2)}
 
+    def eval_base(self):
+        """The base model in eval mode: BatchNorm normalizes with running
+        statistics (torch .eval() semantics); stateless bases unchanged."""
+        if isinstance(self.model_base, BatchNorm1d):
+            return dataclasses.replace(self.model_base, use_running=True)
+        return self.model_base
+
     def predict(self, params: Params, signal):
-        """base -> ctc pipeline (Model.py:55-59); returns (base_out, logits)."""
-        base_out = self.model_base.apply(params["base"], signal)
+        """base -> ctc pipeline (Model.py:55-59) in EVAL mode (running-stat
+        BatchNorm for raw-ctcnet); returns (base_out, logits)."""
+        base_out = self.eval_base().apply(params["base"], signal)
         return base_out, self.model_ctc.apply(params["ctc"], base_out)
 
     def save(self, path: str, params: Params):

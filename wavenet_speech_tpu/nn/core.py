@@ -38,6 +38,16 @@ class Module:
     def __call__(self, params: Params, *args, **kwargs):
         return self.apply(params, *args, **kwargs)
 
+    def update_state(self, old_params: Params, new_params: Params,
+                     *inputs) -> Params:
+        """Hook for modules carrying non-gradient state (e.g. BatchNorm
+        running statistics): called by the train step AFTER the optimizer
+        update with the pre-update params, the post-update params, and the
+        raw batch inputs; returns post-update params with state leaves
+        recomputed. Default: stateless, no-op."""
+        del old_params, inputs
+        return new_params
+
 
 @dataclasses.dataclass(frozen=True)
 class Sequential(Module):

@@ -95,6 +95,11 @@ def make_joint_train_step(base_model, ctc_model, tx,
             state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # non-gradient state (BatchNorm running statistics): recomputed from
+        # the PRE-update leaves so optimizer side effects (e.g. weight
+        # decay) never touch them
+        params = dict(params, base=base_model.update_state(
+            state.params["base"], params["base"], batch["signal"]))
         metrics = dict(metrics, total_loss=total,
                        grad_norm=optax.global_norm(grads))
         return TrainState(params, opt_state, state.step + 1), metrics
