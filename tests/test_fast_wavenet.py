@@ -69,3 +69,45 @@ def test_scan_stacked_params_path():
     np.testing.assert_allclose(np.asarray(probs[:, 0]),
                                np.asarray(full_out[:, 2]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_general_kernel_widths_match_parallel():
+    """General-k fast path (reference linear_conv_ops get_ker_ixs was
+    general-k): k=3 entry + mixed k=2/k=3/k=5 dilated blocks."""
+    ch, C = 8, 16
+    layers = ((ch, ch, 3, 1), (ch, ch, 2, 2), (ch, ch, 5, 2), (ch, ch, 3, 4))
+    model = WaveNet(C, 3, layers, C, softmax=False)
+    params = model.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(6)
+    B, L0 = 2, 7
+    prime = jax.nn.one_hot(jnp.asarray(rng.integers(0, C, size=(B, L0))), C)
+
+    T = 9
+    levels, probs = generate(model, params, prime, T)
+    gen_onehot = jax.nn.one_hot(levels, C)
+    full_in = jnp.concatenate([prime, gen_onehot], axis=1)
+    full_out = jax.nn.softmax(model.apply(params, full_in), axis=-1)
+    for j in range(T):
+        np.testing.assert_allclose(np.asarray(probs[:, j]),
+                                   np.asarray(full_out[:, L0 - 1 + j]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(levels[:, j]),
+            np.asarray(jnp.argmax(full_out[:, L0 - 1 + j], -1)))
+
+
+def test_general_k_short_prime():
+    """Prime shorter than the entry kernel (zero left-padding path)."""
+    ch, C = 8, 16
+    model = WaveNet(C, 4, ((ch, ch, 3, 2),), C, softmax=False)
+    params = model.init(jax.random.PRNGKey(7))
+    prime = jax.nn.one_hot(jnp.asarray([[5]]), C)  # L0=1 < ke=4
+    T = 6
+    levels, probs = generate(model, params, prime, T)
+    gen_onehot = jax.nn.one_hot(levels, C)
+    full_in = jnp.concatenate([prime, gen_onehot], axis=1)
+    full_out = jax.nn.softmax(model.apply(params, full_in), axis=-1)
+    for j in range(T):
+        np.testing.assert_allclose(np.asarray(probs[:, j]),
+                                   np.asarray(full_out[:, j]),
+                                   rtol=1e-4, atol=1e-5)

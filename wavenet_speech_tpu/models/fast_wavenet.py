@@ -5,11 +5,15 @@ modules/linear_decoder.py — both unfinished stubs) was built toward exactly
 this: O(1) work per generated sample instead of re-running the full conv
 stack. Here it is complete and TPU-native:
 
-Each dilated causal conv (k=2) at dilation d needs its layer input at t and
-t-d. We keep, per layer, a ring buffer of the last d layer inputs; one
-generation step is then  entry-conv -> per-block [pop x(t-d); fused gate
-matmul; 1x1s; push x(t)] -> output stack -> sample — a handful of (B, C) x
-(C, 2C) matmuls, compiled as one lax.scan over time.
+A dilated causal conv (kernel k, dilation d) at time t needs its layer
+input at t, t-d, ..., t-(k-1)d (the reference's get_ker_ixs index set,
+modules/linear_conv_ops.py:112-123, relative to the window end). We keep,
+per layer, a ring buffer of the last (k-1)*d layer inputs; one generation
+step is then  entry-conv -> per-block [gather k-1 taps from the queue;
+fused gate matmul; 1x1s; push x(t)] -> output stack -> sample — a handful
+of (B, C) x (C, 2C) matmuls, compiled as one lax.scan over time. Works for
+any per-layer kernel width/dilation mix (the reference eval config mixes
+k=2 and k=3 blocks).
 
 Sampling follows the reference WaveNet semantics: the network predicts a
 distribution over the NEXT quantized level (modules/wavenet.py docstring);
@@ -38,12 +42,17 @@ def _layer_params(stack_params, stack, index: int):
                                   stack_params["cycle"][f"b{j}"])
 
 
-def _block_step(layer_p, x_t, x_tmd):
-    """One timestep of a gated residual block (k=2): inputs are the current
-    (B, C_in) frame and the frame d steps back. Returns (resid, skip)."""
-    gw = layer_p["block"]["gate"]["w"]            # (2, C_in, 2C)
+def _block_step(layer_p, x_t, q, k: int, d: int):
+    """One timestep of a gated residual block: x_t is the current (B, C_in)
+    frame; q is the (max((k-1)*d, 1), B, C_in) ring buffer of preceding
+    layer inputs, q[j] = input at t - len(q) + j. Tap m of the kernel
+    multiplies the input at t - (k-1-m)*d, i.e. q[m*d] for m < k-1 and x_t
+    for m = k-1. Returns (resid, skip)."""
+    gw = layer_p["block"]["gate"]["w"]            # (k, C_in, 2C)
     gb = layer_p["block"]["gate"]["b"]
-    g = x_tmd @ gw[0] + x_t @ gw[1] + gb
+    g = x_t @ gw[k - 1] + gb
+    for m in range(k - 1):
+        g = g + q[m * d] @ gw[m]
     C = g.shape[-1] // 2
     act = gated_activation(g[..., :C], g[..., C:])
     ow = layer_p["block"]["out1x1"]["w"][0]       # (C, 2C)
@@ -60,24 +69,22 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
     """Autoregressively generate `num_steps` quantized levels.
 
     Args:
-      model: a WaveNet with k=2 blocks (entry kwidth 2) and softmax output
-             semantics (params may come from a softmax=False model; softmax
-             is applied here for sampling).
+      model: a WaveNet (any entry kwidth, any per-block kernel/dilation mix)
+             with softmax output semantics (params may come from a
+             softmax=False model; softmax is applied here for sampling).
       prime: (B, L0, in_dim) one-hot priming signal, L0 >= 1.
       key:   PRNG key for temperature sampling; None -> argmax.
     Returns: (levels (B, num_steps) int32, probs (B, num_steps, out_dim)).
     """
-    assert model.entry_kwidth == 2, "fast path implemented for k=2"
-    for (_, _, k, _) in model.layers:
-        assert k == 2, "fast path implemented for k=2 blocks"
     assert model.in_dim == model.out_dim, (
         "one-hot feedback needs in_dim == out_dim: sampled levels are drawn "
         f"from {model.out_dim} classes but encoded into {model.in_dim} "
         "input channels (out-of-range levels would one-hot to all-zeros)")
     B, L0, C_in = prime.shape
     stack = model._stack()
-    dilations = [d for (_, _, _, d) in model.layers]
+    kds = [(k, d) for (_, _, k, d) in model.layers]
     n_layers = len(model.layers)
+    ke = model.entry_kwidth
 
     # Prime the queues by running the full parallel forward over the prime
     # sequence and capturing each layer's input history.
@@ -98,18 +105,19 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
 
     layer_histories = full_layer_inputs(prime)
 
-    # ring buffers: per layer, (d, B, C) holding the layer inputs at
-    # positions t-d .. t-1 where t is the position about to be processed
-    # (the first generated step re-processes prime position L0-1, so the
-    # queue must END at position L0-2 — hence hist[:, :-1]).
-    def init_queue(hist, d):
+    # ring buffers: per layer, (Q, B, C) with Q = max((k-1)*d, 1), holding
+    # the layer inputs at positions t-Q .. t-1 where t is the position about
+    # to be processed (the first generated step re-processes prime position
+    # L0-1, so the queue must END at position L0-2 — hence hist[:, :-1]).
+    def init_queue(hist, k, d):
+        Q = max((k - 1) * d, 1)
         C = hist.shape[-1]
         hist = hist[:, :-1, :]
-        pad = jnp.zeros((B, max(d - hist.shape[1], 0), C), hist.dtype)
-        tail = jnp.concatenate([pad, hist], axis=1)[:, -d:, :]  # (B, d, C)
-        return jnp.transpose(tail, (1, 0, 2))  # (d, B, C): [0] oldest = t-d
+        pad = jnp.zeros((B, max(Q - hist.shape[1], 0), C), hist.dtype)
+        tail = jnp.concatenate([pad, hist], axis=1)[:, -Q:, :]  # (B, Q, C)
+        return jnp.transpose(tail, (1, 0, 2))  # (Q, B, C): [0] oldest
 
-    queues = tuple(init_queue(layer_histories[i], dilations[i])
+    queues = tuple(init_queue(layer_histories[i], *kds[i])
                    for i in range(n_layers))
     out_dim = model.out_dim
     o1, o2 = params["out1"], params["out2"]
@@ -125,32 +133,37 @@ def generate(model: WaveNet, params, prime: jnp.ndarray, num_steps: int,
         return level.astype(jnp.int32), probs
 
     def step(carry, k_t):
-        # the entry conv (k=2, d=1) needs the raw input at t-1 and t, so the
-        # carry holds the last two raw (one-hot) frames plus the ring buffers
-        (raw_prev, raw_curr), queues = carry
-        h = raw_prev @ entry_p["w"][0] + raw_curr @ entry_p["w"][1] + entry_p["b"]
+        # the entry conv (kwidth ke, d=1) needs the raw input at t-ke+1..t;
+        # the carry holds the last ke raw (one-hot) frames (raw_hist[-1] is
+        # the current frame t) plus the ring buffers
+        raw_hist, queues = carry
+        h = entry_p["b"]
+        for tap in range(ke):
+            h = h + raw_hist[tap] @ entry_p["w"][tap]
         skips = jnp.zeros((B, out_dim), h.dtype)
         new_queues = []
         for i in range(n_layers):
-            lp = _layer_params(params["stack"], stack, i)
+            k_i, d_i = kds[i]
             q = queues[i]
-            x_tmd = q[0]                      # oldest = t-d
-            resid, skip = _block_step(lp, h, x_tmd)
+            resid, skip = _block_step(
+                _layer_params(params["stack"], stack, i), h, q, k_i, d_i)
             skips = skips + skip
             # push current input h, drop oldest
             q = jnp.concatenate([q[1:], h[None]], axis=0)
             new_queues.append(q)
             h = resid
         level, probs = sample_from(skips, k_t)
-        onehot = jax.nn.one_hot(level, C_in, dtype=raw_curr.dtype)
-        return ((raw_curr, onehot), tuple(new_queues)), (level, probs)
+        onehot = jax.nn.one_hot(level, C_in, dtype=raw_hist.dtype)
+        raw_hist = jnp.concatenate([raw_hist[1:], onehot[None]], axis=0)
+        return (raw_hist, tuple(new_queues)), (level, probs)
 
     keys = (jax.random.split(key, num_steps) if key is not None
             else jnp.zeros((num_steps, 2), jnp.uint32))
-    # raw_prev for the first generated step is prime[-2] (or zeros), raw_curr
-    # is prime[-1]
-    raw_prev0 = (prime[:, -2, :] if L0 >= 2
-                 else jnp.zeros_like(prime[:, -1, :]))
-    carry0 = ((raw_prev0, prime[:, -1, :]), queues)
+    # raw history for the first generated step: the last ke prime frames
+    # (zero-padded when the prime is shorter), ending at prime[:, -1]
+    pad = jnp.zeros((B, max(ke - L0, 0), C_in), prime.dtype)
+    raw_hist0 = jnp.transpose(
+        jnp.concatenate([pad, prime], axis=1)[:, -ke:, :], (1, 0, 2))
+    carry0 = (raw_hist0, queues)
     (_, _), (levels, probs) = lax.scan(step, carry0, keys)
     return jnp.transpose(levels, (1, 0)), jnp.transpose(probs, (1, 0, 2))
