@@ -94,6 +94,15 @@ def build_from_config(cfg):
 
 
 def train(cfg) -> int:
+    train_with_result(cfg)
+    return 0
+
+
+def train_with_result(cfg) -> dict:
+    """Run the training loop and return final statistics — the programmatic
+    entry the hyperparameter search (tools/bayes_opt.py) optimizes over.
+    Returns {"vloss": best validation loss (train moving average when no
+    validation stream produced a number), "train_loss", "steps"}."""
     from wavenet_speech_tpu.data.prefetch import batch_to_device
     from wavenet_speech_tpu.training.checkpoint import (
         latest_step,
@@ -182,7 +191,9 @@ def train(cfg) -> int:
         logger.message(f"final checkpoint @ step {step_idx}")
         dataset.close()
         logger.close()
-    return 0
+    return {"vloss": (best_vloss if np.isfinite(best_vloss)
+                      else meter.value),
+            "train_loss": meter.value, "steps": step_idx}
 
 
 def evaluate(cfg) -> int:
