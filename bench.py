@@ -56,9 +56,30 @@ def _watchdog():
 threading.Thread(target=_watchdog, daemon=True).start()
 
 
+def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
+                 pool: int, remat: bool) -> float:
+    """Model FLOPs of one joint train step (fwd+bwd = 3x fwd; remat adds one
+    extra fwd of the rematerialized stacks)."""
+    from wavenet_speech_tpu.utils.profiling import conv_stack_flops
+
+    C = num_levels
+    fwd = 0.0
+    fwd += 2 * 2 * C * C * L * B                      # WaveNet entry conv k=2
+    fwd += conv_stack_flops(wavenet_layers, L, B, train=False)
+    fwd += 2 * (C * C) * 2 * L * B                    # WaveNet out stack
+    Lp = L // pool
+    clf_all = ((C, C, 2, 1),) + tuple(clf_layers)     # input block + stack
+    fwd += conv_stack_flops(clf_all, Lp, B, train=False)
+    fwd += 2 * (C * C + C * 5) * Lp * B               # classifier out stack
+    total = 3 * fwd
+    if remat:
+        total += fwd
+    return total
+
+
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
          steps: int = 10, warmup: int = 3, bf16: bool = True,
-         remat: bool = True):
+         remat: bool = True, use_pallas: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +95,8 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     classifier_dils = [1, 2, 4, 8, 16, 32] * 3
     base = WaveNet(num_levels, 2,
                    tuple((num_levels, num_levels, 2, d) for d in wavenet_dils),
-                   num_levels, softmax=False, remat=remat)
+                   num_levels, softmax=False, remat=remat,
+                   use_pallas=use_pallas)
     clf = WaveNetClassifier(num_levels, 5,
                             tuple((num_levels, num_levels, 2, d)
                                   for d in classifier_dils),
@@ -119,12 +141,22 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     assert np.isfinite(final_loss)
 
     samples_per_sec = batch_size * signal_len / dt
+    from wavenet_speech_tpu.utils.profiling import mfu as mfu_fn
+
+    flops = _model_flops(num_levels,
+                         [(num_levels, num_levels, 2, d) for d in wavenet_dils],
+                         [(num_levels, num_levels, 2, d) for d in classifier_dils],
+                         signal_len, batch_size, 4, remat)
     print(json.dumps({
         "metric": "audio-samples/sec/chip (joint WaveNet-CTC train step, "
-                  f"30+18 blocks, 256ch, L={signal_len}, B={batch_size})",
+                  f"30+18 blocks, 256ch, L={signal_len}, B={batch_size}"
+                  + (", pallas" if use_pallas else "") + ")",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+        "step_ms": round(dt * 1e3, 2),
+        "mfu": round(mfu_fn(flops, dt, "bf16" if bf16 else "f32"), 4),
+        "model_tflops_per_step": round(flops / 1e12, 3),
     }))
 
 
@@ -134,5 +166,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas forward for the WaveNet blocks")
     a = ap.parse_args()
-    main(steps=a.steps, remat=not a.no_remat)
+    main(steps=a.steps, remat=not a.no_remat, use_pallas=a.pallas)

@@ -93,7 +93,8 @@ class Model:
             c = classifier_cfg(cfg)
             self.model_base = WaveNet(b["signal_dim"], b["entry_kwidth"],
                                       b["layers"], b["out_dim"],
-                                      softmax=False)
+                                      softmax=False, remat=b["remat"],
+                                      use_pallas=b["use_pallas"])
             self.model_ctc = WaveNetClassifier(c["in_dim"], c["num_labels"],
                                                c["layers"], c["out_dim"],
                                                pool_kernel_size=c["downsample"],

@@ -38,6 +38,8 @@ def base_model_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
         "entry_kwidth": m.get("entry_kwidth", 2),
         "layers": layers_from_cfg(m, signal_dim),
         "out_dim": m.get("out_dim", signal_dim),
+        "use_pallas": bool(m.get("use_pallas", False)),
+        "remat": bool(m.get("remat", False)),
     }
 
 
