@@ -14,9 +14,11 @@ Sections:
   ctc      — the CTC loss alpha recursion (lax.scan over frames)
   step     — the full bench.py joint train step (see bench.py for MFU)
 
-Dispatch latency through the tunnel is ~0.4 ms/call, so every section is
-measured as ONE jitted program over `--iters` internal repetitions
-(lax.scan with a data dependence to stop XLA from eliding work).
+A tunneled dispatch+readback costs ~20+ ms per CALL (measured in this
+image), so every section is a single jitted program scanning `iters`
+internal repetitions (data dependence on the carry stops XLA from eliding
+work), timed at two different iteration counts with the per-call constant
+cancelled by the slope (_timed_slope).
 
 Usage: python benchmarks/roofline.py [--section all|feat|block|ctc]
 """
@@ -27,7 +29,7 @@ import json
 import time
 
 
-def _timed(fn, *args, sync_index=None, reps: int = 3):
+def _timed_call(fn, *args, reps: int = 3):
     """Compile, warm up, then best-of-reps wall time for one dispatch."""
     import jax
     import numpy as np
@@ -43,6 +45,17 @@ def _timed(fn, *args, sync_index=None, reps: int = 3):
         float(np.asarray(leaf).ravel()[0])
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _timed_slope(make_fn, args, iters: int):
+    """Per-iteration device time via a two-point slope: the tunneled
+    dispatch+readback costs ~20+ ms per CALL (measured in this image), so a
+    single-call measurement at small `iters` is dominated by call overhead.
+    Timing the same program at `iters` and `5*iters` and taking the slope
+    cancels every per-call constant."""
+    t1 = _timed_call(make_fn(iters), *args)
+    t5 = _timed_call(make_fn(5 * iters), *args)
+    return max((t5 - t1) / (4 * iters), 1e-9)
 
 
 def _report(name: str, seconds: float, flops: float, hbm_bytes: float,
@@ -89,15 +102,17 @@ def run_feat(iters: int = 20, B: int = 16, L: int = 567, F: int = 2048,
         h = _conv1d(h, w2, dilation=1, pad_left=0, pad_right=0) + b2
         return leaky_relu(h)
 
-    @jax.jit
-    def many(x):
-        def body(c, _):
-            y = one(x + c)          # data dependence on the carry
-            return jnp.mean(y).astype(x.dtype), None
-        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=iters)
-        return c
+    def make(n):
+        @jax.jit
+        def many(x):
+            def body(c, _):
+                y = one(x + c)      # data dependence on the carry
+                return jnp.mean(y).astype(x.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)
+            return c
+        return many
 
-    sec = _timed(many, x) / iters
+    sec = _timed_slope(make, (x,), iters)
     Lo = L + fk - 1
     flops = 2 * B * (L * fk * 1 * F + Lo * F * F)
     esz = 2 if bf16 else 4
@@ -120,15 +135,17 @@ def run_block(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
     params = jax.tree_util.tree_map(lambda a: a.astype(dt), params)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, L, C)), dt)
 
-    @jax.jit
-    def many(x):
-        def body(c, _):
-            r, s = blk.apply(params, x + c)
-            return jnp.mean(r + s).astype(x.dtype), None
-        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=iters)
-        return c
+    def make(n):
+        @jax.jit
+        def many(x):
+            def body(c, _):
+                r, s = blk.apply(params, x + c)
+                return jnp.mean(r + s).astype(x.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)
+            return c
+        return many
 
-    sec = _timed(many, x) / iters
+    sec = _timed_slope(make, (x,), iters)
     flops = 2 * B * L * (2 * C * 2 * C + C * 2 * C + C * C)
     esz = 2 if bf16 else 4
     # x read (gate conv + residual proj can share), resid+skip written,
@@ -154,16 +171,18 @@ def run_ctc(iters: int = 20, B: int = 16, T: int = 567, S: int = 89,
     ll = jnp.full((B,), S, jnp.int32)
     tl = jnp.full((B,), T, jnp.int32)
 
-    @jax.jit
-    def many(logits):
-        def body(c, _):
-            v = jnp.sum(ctc_loss_per_seq(logits + c, tl, labels, ll))
-            return (v * 0).astype(logits.dtype), None
-        c, _ = jax.lax.scan(body, jnp.zeros((), logits.dtype), None,
-                            length=iters)
-        return c
+    def make(n):
+        @jax.jit
+        def many(logits):
+            def body(c, _):
+                v = jnp.sum(ctc_loss_per_seq(logits + c, tl, labels, ll))
+                return (v * 0).astype(logits.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), logits.dtype), None,
+                                length=n)
+            return c
+        return many
 
-    sec = _timed(many, logits) / iters
+    sec = _timed_slope(make, (logits,), iters)
     # alpha lattice: T x (2S+1) per sequence, ~6 flops/cell
     flops = 6.0 * B * T * (2 * S + 1)
     hbm = 4.0 * B * T * C
@@ -171,15 +190,50 @@ def run_ctc(iters: int = 20, B: int = 16, T: int = 567, S: int = 89,
                    extra={"note": "latency-bound scan; roofline n/a"})
 
 
+def run_matmul(iters: int = 20, M: int = 8192, K: int = 2048, N: int = 2048,
+               bf16: bool = True):
+    """Pure MXU calibration: the achievable matmul peak through this stack
+    (jit + tunnel + scan harness) — the denominator every other section
+    should be judged against."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((M, K)) * 0.1, dt)
+    b = jnp.asarray(rng.standard_normal((K, N)) * 0.1, dt)
+
+    def make(n):
+        @jax.jit
+        def many(a, b):
+            def body(c, _):
+                y = (a + c) @ b
+                return jnp.mean(y).astype(a.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), a.dtype), None, length=n)
+            return c
+        return many
+
+    sec = _timed_slope(make, (a, b), iters)
+    flops = 2.0 * M * K * N
+    esz = 2 if bf16 else 4
+    hbm = esz * (M * K + K * N + M * N)
+    return _report(f"matmul {M}x{K}x{N} {'bf16' if bf16 else 'f32'}",
+                   sec, flops, hbm, bf16)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["all", "feat", "block", "ctc"])
+                    choices=["all", "feat", "block", "ctc", "matmul"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
     bf16 = not args.f32
 
+    if args.section in ("all", "matmul"):
+        run_matmul(args.iters, bf16=bf16)
+        run_matmul(args.iters, M=36040, K=256, N=512, bf16=bf16)  # block shape
     if args.section in ("all", "feat"):
         run_feat(args.iters, bf16=bf16)
     if args.section in ("all", "block"):

@@ -102,10 +102,31 @@ def ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank: 
     return ll
 
 
-def ctc_loss_per_seq(logits, logit_lengths, labels, label_lengths, blank: int = 0):
+def _default_impl() -> str:
+    """CTC recursion implementation: 'pallas' (fused kernels — the XLA scan
+    costs ~35 us/frame of per-kernel latency, see ops/pallas/ctc.py) when a
+    TPU backend is active, else the 'xla' lax.scan. Override with the
+    WAVENET_CTC_IMPL env var."""
+    import os
+
+    env = os.environ.get("WAVENET_CTC_IMPL")
+    if env in ("pallas", "xla"):
+        return env
+    return "xla"  # TODO(flip): default to pallas-on-TPU once burned in
+
+
+def ctc_loss_per_seq(logits, logit_lengths, labels, label_lengths,
+                     blank: int = 0, impl: str | None = None):
     """Per-sequence CTC negative log-likelihood; logits are unnormalized
     (softmax applied internally, matching warp-ctc)."""
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if (impl or _default_impl()) == "pallas":
+        from wavenet_speech_tpu.ops.pallas.ctc import (
+            ctc_forward_logprob_pallas,
+        )
+
+        return -ctc_forward_logprob_pallas(log_probs, logit_lengths, labels,
+                                           label_lengths, blank)
     return -ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank)
 
 
