@@ -45,6 +45,13 @@ def _extend_labels(labels: jnp.ndarray, blank: int):
     return ext, allow_skip
 
 
+def _gather_ext(log_probs, ext):
+    """(B, T, C) log-probs at extended-label positions -> (B, T, 2S+1) via a
+    one-hot einsum (gather-free; see note in ctc_forward_logprob)."""
+    onehot = jax.nn.one_hot(ext, log_probs.shape[-1], dtype=log_probs.dtype)
+    return jnp.einsum("btc,bjc->btj", log_probs, onehot)
+
+
 def ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank: int = 0):
     """Log-likelihood log P(labels | log_probs) per sequence.
 
@@ -61,11 +68,12 @@ def ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank: 
     S = labels.shape[1]
     ext, allow_skip = _extend_labels(labels, blank)  # (B, 2S+1)
 
-    # Gather per-frame log-probs at the extended-label positions once:
-    # (B, T, 2S+1); the scan then only does elementwise work.
-    lp_ext = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, 2 * S + 1)), axis=2
-    )
+    # Per-frame log-probs at the extended-label positions, (B, T, 2S+1),
+    # as a one-hot contraction: XLA lowers take_along_axis to a serial
+    # per-element gather on TPU (measured 16 ms at B=16/T=567/S=89 — it,
+    # not the scan, dominated the CTC cost), while this is one tiny MXU
+    # matmul over the C axis.
+    lp_ext = _gather_ext(log_probs, ext)
     lp_ext_t = jnp.transpose(lp_ext, (1, 0, 2))  # (T, B, 2S+1)
 
     neg = jnp.float32(_NEG_INF)
@@ -112,7 +120,12 @@ def _default_impl() -> str:
     env = os.environ.get("WAVENET_CTC_IMPL")
     if env in ("pallas", "xla"):
         return env
-    return "xla"  # TODO(flip): default to pallas-on-TPU once burned in
+    try:
+        from wavenet_speech_tpu.ops.pallas.ctc import pallas_ctc_available
+
+        return "pallas" if pallas_ctc_available() else "xla"
+    except Exception:  # pragma: no cover
+        return "xla"
 
 
 def ctc_loss_per_seq(logits, logit_lengths, labels, label_lengths,

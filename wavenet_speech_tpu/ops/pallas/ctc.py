@@ -278,15 +278,13 @@ def ctc_forward_logprob_pallas(log_probs, logit_lengths, labels,
                                label_lengths, blank: int = 0):
     """Drop-in for ops.ctc.ctc_forward_logprob running the recursion as the
     fused Pallas kernels (same gather/extend preamble in XLA)."""
-    from wavenet_speech_tpu.ops.ctc import _extend_labels
+    from wavenet_speech_tpu.ops.ctc import _extend_labels, _gather_ext
 
     log_probs = log_probs.astype(jnp.float32)
     B, T, C = log_probs.shape
     S = labels.shape[1]
     ext, allow_skip = _extend_labels(labels, blank)
-    lp_ext = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, 2 * S + 1)),
-        axis=2)
+    lp_ext = _gather_ext(log_probs, ext)  # gather-free one-hot einsum
     lp_ext_t = jnp.transpose(lp_ext, (1, 0, 2))
     skipadd = jnp.where(allow_skip, 0.0, NEG)
     return ctc_scan(lp_ext_t, skipadd, logit_lengths, label_lengths)
