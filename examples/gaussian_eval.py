@@ -221,9 +221,15 @@ def main(argv=None):
 
     result = {
         "avg_per_logit_ctc": float(np.mean(ctc_vals)),
+        # the reference's "per-logit" divides the BATCH-SUMMED warp-ctc loss
+        # by T only (eval notebook cell 12: ctc_loss / transcriptions.size(0)
+        # at batch_size=6), so the metric scales with batch size; this is
+        # our number re-expressed at the reference's batch 6
+        "ref_convention_per_logit_ctc":
+            float(np.mean(ctc_vals)) * 6.0 / args.batch_size,
         "mean_identity": float(np.mean(idents)),
         "identities": [round(float(x), 3) for x in idents],
-        "reference_anchor": {"avg_per_logit_ctc": 0.5548,
+        "reference_anchor": {"avg_per_logit_ctc": 0.5548, "batch_size": 6,
                              "identity_range": [0.495, 0.78]},
     }
     print(json.dumps(result), flush=True)
