@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 # prepend, don't clobber: /root/.axon_site (TPU plugin sitecustomize) must
 # stay on PYTHONPATH or the axon backend never registers
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
-export GAUSS_STALL_SECS=${GAUSS_STALL_SECS:-900}
+export GAUSS_STALL_SECS=${GAUSS_STALL_SECS:-420}
 CKPT="$PWD/runs/gauss_r2/ckpts"
 mkdir -p runs/gauss_r2
 for target in "$@"; do
