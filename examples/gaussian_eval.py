@@ -98,6 +98,14 @@ def main(argv=None):
                     help="residual-stack width (reference: 512)")
     args = ap.parse_args(argv)
 
+    # arm the stall watchdog BEFORE the first backend touch: a fresh tunnel
+    # connection can hang during jax backend init / checkpoint restore,
+    # which is earlier than the training loop's ticks
+    if args.ckpt_dir:
+        threading.Thread(target=_watchdog, daemon=True).start()
+        _tick()
+        _progress["armed"] = True
+
     if args.platform:
         import jax
 
@@ -156,8 +164,7 @@ def main(argv=None):
         from wavenet_speech_tpu.training.checkpoint import (
             latest_step, restore_checkpoint, save_checkpoint)
 
-        threading.Thread(target=_watchdog, daemon=True).start()
-        _progress["armed"] = True
+        _tick()
         if latest_step(args.ckpt_dir) is not None:
             state = restore_checkpoint(args.ckpt_dir, state)
             start = int(state.step)
