@@ -29,7 +29,11 @@ def next_signal_xe_loss(signal, signal_pred, signal_lengths=None):
     target = jnp.argmax(signal[:, 1:, :], axis=-1)          # (B, L-1)
     logits = signal_pred[:, :-1, :]                          # (B, L-1, C)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis: XLA lowers the gather (and
+    # its scatter-add transpose in backward) to serial per-element ops on
+    # TPU — the same pathology that dominated the CTC loss
+    onehot = jax.nn.one_hot(target, logp.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if signal_lengths is not None:
         # only count frames < len-1 (padding contributes nothing)
         mask = (jnp.arange(nll.shape[1])[None, :] < (signal_lengths - 1)[:, None])
