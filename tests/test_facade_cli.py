@@ -186,3 +186,20 @@ def test_batchnorm_running_stats_match_torch():
     np.testing.assert_allclose(np.asarray(ye)[..., 0],
                                tye.detach().numpy()[:, 0, :],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_times_output():
+    """Facade Decoder exposes ctcdecode's per-label times via both beam
+    engines and they agree."""
+    from wavenet_speech_tpu.facade import Decoder
+
+    rng = np.random.default_rng(13)
+    logits = rng.standard_normal((2, 12, 5)).astype(np.float32)
+    sc_d, str_d, t_d = Decoder("beam", engine="device").decode(
+        logits, return_times=True)
+    sc_n, str_n, t_n = Decoder("beam", engine="native").decode(
+        logits, return_times=True)
+    assert str_d == str_n
+    assert t_d == t_n
+    for s, t in zip(str_d, t_d):
+        assert len(s) == len(t)

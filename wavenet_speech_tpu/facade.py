@@ -254,7 +254,11 @@ class Decoder:
         self.blank = blank
         self.engine = engine
 
-    def decode(self, logits, lengths=None):
+    def decode(self, logits, lengths=None, return_times: bool = False):
+        """-> (scores, strings[, times]): times (one int list per sequence,
+        the emission frame of each output label) reproduces the native
+        ctcdecode's third output (eval notebook cells 19-22); supported by
+        the 'device' and 'native' beam engines."""
         from wavenet_speech_tpu.decoding import (
             beam_search_decode,
             ctc_beam_search_jax,
@@ -263,24 +267,38 @@ class Decoder:
         )
 
         if self.decoder_type == "argmax":
+            if return_times:
+                raise ValueError("times are a beam-engine output")
             return None, greedy_ctc_decode(np.asarray(logits), lengths,
                                            self.blank)
         if self.engine == "device":
-            prefixes, plens, scores = ctc_beam_search_jax(
-                logits, lengths, beam_width=self.beam_width, blank=self.blank)
+            prefixes, plens, scores, times = ctc_beam_search_jax(
+                logits, lengths, beam_width=self.beam_width, blank=self.blank,
+                return_times=True)
             prefixes, plens = np.asarray(prefixes), np.asarray(plens)
             results = [prefixes[b, 0, : plens[b, 0]]
                        for b in range(prefixes.shape[0])]
-            return [float(s) for s in np.asarray(scores)[:, 0]], \
-                labels2strings(results)
+            out = ([float(s) for s in np.asarray(scores)[:, 0]],
+                   labels2strings(results))
+            if return_times:
+                times = np.asarray(times)
+                out += ([times[b, 0, : plens[b, 0]].tolist()
+                         for b in range(prefixes.shape[0])],)
+            return out
         if self.engine == "native":
             from wavenet_speech_tpu.native import ctc_beam_search_native
 
-            labels, lens, scores = ctc_beam_search_native(
+            labels, lens, scores, times = ctc_beam_search_native(
                 np.asarray(logits), beam_width=self.beam_width,
-                blank=self.blank, lengths=lengths)
+                blank=self.blank, lengths=lengths, return_times=True)
             results = [labels[b, : lens[b]] for b in range(labels.shape[0])]
-            return [float(s) for s in scores], labels2strings(results)
+            out = ([float(s) for s in scores], labels2strings(results))
+            if return_times:
+                out += ([times[b, : lens[b]].tolist()
+                         for b in range(labels.shape[0])],)
+            return out
+        if return_times:
+            raise ValueError("times need the 'device' or 'native' engine")
         results, scores = beam_search_decode(np.asarray(logits),
                                              self.beam_width, self.blank,
                                              lengths)
