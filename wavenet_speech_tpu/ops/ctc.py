@@ -76,15 +76,31 @@ def ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank: 
     lp_ext = _gather_ext(log_probs, ext)
     lp_ext_t = jnp.transpose(lp_ext, (1, 0, 2))  # (T, B, 2S+1)
 
-    neg = jnp.float32(_NEG_INF)
-    alpha0 = jnp.full((B, 2 * S + 1), neg)
-    alpha0 = alpha0.at[:, 0].set(lp_ext_t[0, :, 0])
-    if S > 0:
-        alpha0 = alpha0.at[:, 1].set(
-            jnp.where(label_lengths > 0, lp_ext_t[0, :, 1], neg)
-        )
+    alpha0 = ctc_alpha_init(lp_ext_t[0], label_lengths)
+    alpha = ctc_alpha_scan(alpha0, lp_ext_t[1:], jnp.arange(1, T),
+                           logit_lengths, allow_skip)
+    return ctc_alpha_terminal(alpha, label_lengths)
 
-    skip_mask = allow_skip  # (B, 2S+1) bool
+
+def ctc_alpha_init(lp_ext_0, label_lengths):
+    """Initial alpha from the first frame's extended-label log-probs."""
+    B, J = lp_ext_0.shape
+    neg = jnp.float32(_NEG_INF)
+    alpha0 = jnp.full((B, J), neg)
+    alpha0 = alpha0.at[:, 0].set(lp_ext_0[:, 0])
+    if J > 1:
+        alpha0 = alpha0.at[:, 1].set(
+            jnp.where(label_lengths > 0, lp_ext_0[:, 1], neg))
+    return alpha0
+
+
+def ctc_alpha_scan(alpha, lp_ext_t, ts, logit_lengths, skip_mask):
+    """Advance alpha over frames lp_ext_t ((T', B, 2S+1)) whose GLOBAL frame
+    indices are ts ((T',)); frames with ts >= logit_lengths carry alpha
+    through unchanged. Exposed so the sequence-sharded CTC (parallel CTC
+    over time shards) can run the same recursion per shard."""
+    B = alpha.shape[0]
+    neg = jnp.float32(_NEG_INF)
 
     def step(alpha, xt):
         lp_t, t = xt
@@ -97,17 +113,19 @@ def ctc_forward_logprob(log_probs, logit_lengths, labels, label_lengths, blank: 
         live = (t < logit_lengths)[:, None]
         return jnp.where(live, new_alpha, alpha), None
 
-    ts = jnp.arange(1, T)
-    alpha, _ = lax.scan(step, alpha0, (lp_ext_t[1:], ts))
+    alpha, _ = lax.scan(step, alpha, (lp_ext_t, ts))
+    return alpha
 
-    # terminal states: positions 2*label_len (final blank) and 2*label_len-1
+
+def ctc_alpha_terminal(alpha, label_lengths):
+    """Log-likelihood from the final alpha: logaddexp of the two terminal
+    lattice states (final blank 2L, final label 2L-1)."""
     idx_last = 2 * label_lengths  # (B,)
     a_last = jnp.take_along_axis(alpha, idx_last[:, None], axis=1)[:, 0]
     a_prev = jnp.take_along_axis(
         alpha, jnp.maximum(idx_last - 1, 0)[:, None], axis=1
     )[:, 0]
-    ll = jnp.where(label_lengths > 0, jnp.logaddexp(a_last, a_prev), a_last)
-    return ll
+    return jnp.where(label_lengths > 0, jnp.logaddexp(a_last, a_prev), a_last)
 
 
 def _default_impl() -> str:

@@ -9,6 +9,7 @@ from wavenet_speech_tpu.parallel.sharding import (
     shard_params,
     shard_batch,
 )
+from wavenet_speech_tpu.parallel.ctc_sharded import ctc_loss_seq_sharded
 from wavenet_speech_tpu.parallel.halo import (
     seq_axis,
     current_seq_axis,
@@ -28,4 +29,5 @@ __all__ = [
     "current_seq_axis",
     "halo_pad",
     "seq_sharded_apply",
+    "ctc_loss_seq_sharded",
 ]
