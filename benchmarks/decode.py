@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--engines", nargs="+",
                     default=["device", "native", "greedy"])
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 forward (beam/argmax stay f32 on logits)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -56,6 +58,12 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     signal = rng.standard_normal(
         (args.batch_size, args.signal_len, 1)).astype(np.float32)
+    if args.bf16:
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+        signal = signal.astype(jnp.bfloat16)
 
     def fwd(p, x):
         return net.apply(p, x)
