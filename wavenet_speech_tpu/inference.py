@@ -99,3 +99,102 @@ class Basecaller:
         return labels2strings(ctc_collapse(labels, lengths=logit_lens,
                                            blank=self.blank)), \
             [0.0] * labels.shape[0]
+
+    def basecall_long(self, signal, chunk_len: int = 16384,
+                      margin: Optional[int] = None, chunk_batch: int = 8
+                      ) -> Tuple[str, float]:
+        """Basecall ONE read of arbitrary length via overlapping chunks
+        (see chunked_logits); the stitched logits are decoded in one beam /
+        greedy pass. signal: (L, C)."""
+        logits = chunked_logits(self.model, self.params, jnp.asarray(
+            np.asarray(signal, np.float32)), chunk_len, margin, chunk_batch)
+        if self.beam_width > 0:
+            prefixes, plens, scores = ctc_beam_search_jax(
+                logits[None], beam_width=self.beam_width, blank=self.blank,
+                max_label_len=self.max_label_len or logits.shape[0])
+            p, n = np.asarray(prefixes)[0, 0], int(np.asarray(plens)[0, 0])
+            return labels2strings([p[:n]])[0], float(np.asarray(scores)[0, 0])
+        labels = np.asarray(jnp.argmax(logits, axis=-1))[None]
+        return labels2strings(ctc_collapse(labels, blank=self.blank))[0], 0.0
+
+
+def _default_margin(model) -> int:
+    """Edge-contamination width of one model forward: frames closer than
+    this to a chunk boundary may differ from the full-signal forward.
+    Conservative: the full receptive field of the conv stack plus the
+    featurizer extension (covers causal and non-causal stacks)."""
+    m = 0
+    if hasattr(model, "feature_kwidth"):
+        m += model.feature_kwidth - 1
+    if hasattr(model, "entry_kwidth"):
+        m += model.entry_kwidth - 1
+    for (_, _, k, d) in getattr(model, "layers", ()):
+        m += (k - 1) * d
+    return m
+
+
+def chunked_logits(model, params, signal, chunk_len: int,
+                   margin: Optional[int] = None,
+                   chunk_batch: int = 8) -> jnp.ndarray:
+    """Logits for ONE long read via overlapping chunks — basecall signals
+    far longer than one forward pass fits in HBM (production nanopore reads
+    run to 10^5-10^6 samples; the reference evaluates only short windows).
+
+    The read is split into chunks of `chunk_len` raw samples overlapping by
+    2*margin; each chunk runs through the jitted forward (chunks batched
+    `chunk_batch` at a time — one compile, reused across any read length),
+    the contaminated `margin` frames are trimmed from interior boundaries,
+    and the kept slices tile the full-signal logit sequence exactly
+    (bit-equal to the monolithic forward outside floating-point reorder;
+    tested in tests/test_chunked_inference.py).
+
+    Args:
+      signal: (L, C) one read.
+    Returns: (L_out, num_labels) logits, L_out = model.output_length(L)
+      where defined else L.
+    """
+    L, C = signal.shape
+    margin = _default_margin(model) if margin is None else int(margin)
+    if chunk_len <= 2 * margin:
+        raise ValueError(f"chunk_len {chunk_len} must exceed 2*margin "
+                         f"({2 * margin})")
+    extra = (model.output_length(chunk_len) - chunk_len
+             if hasattr(model, "output_length") else 0)
+    if L <= chunk_len:  # short read: one forward
+        return model.apply(params, signal[None])[0]
+
+    step = chunk_len - 2 * margin
+    starts = list(range(0, L - chunk_len + step, step))
+    # right-align the last chunk so every raw sample is covered
+    if starts[-1] + chunk_len < L:
+        starts.append(L - chunk_len)
+    starts[-1] = min(starts[-1], L - chunk_len)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    chunks = np.stack([np.asarray(signal[s: s + chunk_len]) for s in starts])
+    outs = []
+    pad_n = (-len(chunks)) % chunk_batch
+    if pad_n:
+        chunks = np.concatenate(
+            [chunks, np.zeros((pad_n,) + chunks.shape[1:], chunks.dtype)])
+    for i in range(0, len(chunks), chunk_batch):
+        outs.append(np.asarray(fwd(params, jnp.asarray(chunks[i: i + chunk_batch]))))
+    out = np.concatenate(outs)[: len(starts)]  # (n, chunk_len + extra, C')
+
+    L_out = L + extra
+    pieces = []
+    pos = 0  # next global output frame to emit
+    for i, s in enumerate(starts):
+        lo = pos - s                       # local start of the kept slice
+        hi = (chunk_len + extra if i == len(starts) - 1
+              else chunk_len + extra - margin)
+        # keep at most up to the next chunk's kept start
+        if i < len(starts) - 1:
+            nxt = starts[i + 1] + margin   # global frame the next chunk owns
+            hi = min(hi, nxt - s)
+        hi = max(hi, lo)  # a fully-shadowed chunk contributes nothing
+        pieces.append(out[i, lo:hi])
+        pos = s + hi
+    stitched = np.concatenate(pieces)
+    assert stitched.shape[0] == L_out, (stitched.shape, L_out)
+    return jnp.asarray(stitched)
