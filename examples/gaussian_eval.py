@@ -96,6 +96,9 @@ def main(argv=None):
                          "run length open-ended, unlike --cosine)")
     ap.add_argument("--nhid", type=int, default=512,
                     help="residual-stack width (reference: 512)")
+    ap.add_argument("--max-grad-norm", type=float, default=None,
+                    help="global-norm gradient clipping (bf16 late-training "
+                         "loss spikes can NaN the run without it)")
     args = ap.parse_args(argv)
 
     # arm the stall watchdog BEFORE the first backend touch: a fresh tunnel
@@ -148,7 +151,7 @@ def main(argv=None):
         import optax
 
         lr = optax.linear_schedule(0.0, args.lr, args.warmup)
-    tx = build_optimizer("adamax", lr)
+    tx = build_optimizer("adamax", lr, max_grad_norm=args.max_grad_norm)
     state = TrainState.create(params, tx)
     # reference pipeline normalizes raw signal through BatchNorm1d(1)
     # (train notebook cell 11) before RawCTCNet; done in f32 pre-cast
@@ -188,7 +191,14 @@ def main(argv=None):
             print(f"step {i}: per-logit CTC {meter.value:.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if args.ckpt_dir and (i + 1) % args.save_every == 0:
-            save_checkpoint(args.ckpt_dir, state, step=i + 1, max_to_keep=2)
+            # never checkpoint a diverged state: a NaN save plus rotation
+            # (max_to_keep) destroys the recoverable history
+            if not np.isfinite(meter.value):
+                print(f"[gaussian_eval] non-finite loss at step {i + 1}; "
+                      "NOT saving; aborting for restart from the last "
+                      "finite checkpoint", file=sys.stderr, flush=True)
+                sys.exit(3)
+            save_checkpoint(args.ckpt_dir, state, step=i + 1, max_to_keep=4)
     if args.ckpt_dir and args.steps > start:
         save_checkpoint(args.ckpt_dir, state, step=args.steps, max_to_keep=2)
     _tick()
