@@ -97,8 +97,13 @@ def main(argv=None):
     ap.add_argument("--nhid", type=int, default=512,
                     help="residual-stack width (reference: 512)")
     ap.add_argument("--max-grad-norm", type=float, default=None,
-                    help="global-norm gradient clipping (bf16 late-training "
-                         "loss spikes can NaN the run without it)")
+                    help="global-norm GRADIENT clipping (warning: raw grad "
+                         "norms here are O(1e13); small thresholds destroy "
+                         "adamax updates — prefer --max-update-norm)")
+    ap.add_argument("--max-update-norm", type=float, default=None,
+                    help="global-norm clipping of the post-optimizer UPDATE "
+                         "(typical update norm ~3; e.g. 30 bounds "
+                         "divergence spikes without touching normal steps)")
     args = ap.parse_args(argv)
 
     # arm the stall watchdog BEFORE the first backend touch: a fresh tunnel
@@ -151,7 +156,8 @@ def main(argv=None):
         import optax
 
         lr = optax.linear_schedule(0.0, args.lr, args.warmup)
-    tx = build_optimizer("adamax", lr, max_grad_norm=args.max_grad_norm)
+    tx = build_optimizer("adamax", lr, max_grad_norm=args.max_grad_norm,
+                         max_update_norm=args.max_update_norm)
     state = TrainState.create(params, tx)
     # reference pipeline normalizes raw signal through BatchNorm1d(1)
     # (train notebook cell 11) before RawCTCNet; done in f32 pre-cast

@@ -119,3 +119,25 @@ def test_e2e_overfit_joint_wavenet_ctc():
     lens = np.asarray(batch["label_lengths"])
     expected = labels2strings([labels[b, : lens[b]] for b in range(2)])
     assert decoded == expected
+
+
+def test_update_norm_clipping_bounds_updates():
+    """max_update_norm clips the post-optimizer update, not the raw grads
+    (raw grad norms of the batch-summed CTC are O(1e13); gradient clipping
+    at small thresholds destroys adamax's update direction)."""
+    import optax
+
+    from wavenet_speech_tpu.training import build_optimizer
+
+    params = {"w": jnp.ones((64,))}
+    grads = {"w": jnp.full((64,), 1e12)}  # absurd-scale gradient spike
+    tx = build_optimizer("adamax", 1.0, max_update_norm=0.5)
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    assert float(optax.global_norm(upd)) <= 0.5 + 1e-6
+    # and without the spike, normal updates are untouched by a loose bound
+    tx2 = build_optimizer("adamax", 1e-3, max_update_norm=10.0)
+    st2 = tx2.init(params)
+    upd2, _ = tx2.update({"w": jnp.full((64,), 0.1)}, st2, params)
+    n = float(optax.global_norm(upd2))
+    assert 0 < n < 10.0

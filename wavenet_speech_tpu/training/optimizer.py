@@ -16,8 +16,17 @@ import optax
 
 def build_optimizer(optim_type: str, learning_rate: float,
                     weight_decay: Optional[float] = None,
-                    max_grad_norm: Optional[float] = None) -> optax.GradientTransformation:
-    """Build an optax chain from the reference's config vocabulary."""
+                    max_grad_norm: Optional[float] = None,
+                    max_update_norm: Optional[float] = None) -> optax.GradientTransformation:
+    """Build an optax chain from the reference's config vocabulary.
+
+    max_grad_norm clips RAW gradients (standard, but note: the batch-summed
+    CTC loss produces gradient norms of O(1e13) through the 100-block
+    eye-init stacks at init — a threshold of O(100) rescales gradients
+    below Adamax's eps and destroys the update direction entirely; measured
+    on TPU, the loss then climbs). max_update_norm instead clips the
+    post-optimizer UPDATE (whose norm is ~lr*sqrt(n_params), O(1) here) —
+    the scale-correct divergence guard for adaptive optimizers."""
     optim_type = optim_type.lower()
     if optim_type == "adam":
         tx = optax.adam(learning_rate)
@@ -41,6 +50,8 @@ def build_optimizer(optim_type: str, learning_rate: float,
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(tx)
+    if max_update_norm:
+        parts.append(optax.clip_by_global_norm(max_update_norm))
     return optax.chain(*parts)
 
 
