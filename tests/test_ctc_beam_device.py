@@ -127,3 +127,19 @@ def test_seq_sharded_beam_matches_single_device():
                                           np.asarray(p1[b, w, :n]))
             np.testing.assert_array_equal(np.asarray(td[b, w, :n]),
                                           np.asarray(t1[b, w, :n]))
+
+
+def test_seq_sharded_beam_replicated_batch():
+    """data_sharded=False path: batch replicated, only time sharded."""
+    from wavenet_speech_tpu.decoding.distributed import seq_sharded_beam_decode
+    from wavenet_speech_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(8)
+    B, T, C, W, S = 2, 16, 4, 5, 8
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    p1, l1, s1 = ctc_beam_search_jax(logits, beam_width=W, max_label_len=S)
+    mesh = make_mesh(data=1, model=1, seq=8)
+    pd, ld, sd, _ = seq_sharded_beam_decode(mesh, logits, beam_width=W,
+                                            max_label_len=S)
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(s1), rtol=1e-5)
