@@ -57,9 +57,12 @@ threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
-                 pool: int, remat: bool) -> float:
-    """Model FLOPs of one joint train step (fwd+bwd = 3x fwd; remat adds one
-    extra fwd of the rematerialized stacks)."""
+                 pool: int, remat: bool):
+    """Returns (strict_model_flops, hardware_flops) of one joint train step.
+
+    strict = 3x fwd (MFU by definition excludes remat recompute);
+    hardware = strict + one extra fwd when remat is on (what the MXU
+    actually executes — report as hw_flops_util, never as MFU)."""
     from wavenet_speech_tpu.utils.profiling import conv_stack_flops
 
     C = num_levels
@@ -71,10 +74,9 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
     clf_all = ((C, C, 2, 1),) + tuple(clf_layers)     # input block + stack
     fwd += conv_stack_flops(clf_all, Lp, B, train=False)
     fwd += 2 * (C * C + C * 5) * Lp * B               # classifier out stack
-    total = 3 * fwd
-    if remat:
-        total += fwd
-    return total
+    strict = 3 * fwd
+    hw = strict + (fwd if remat else 0.0)
+    return strict, hw
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
@@ -143,10 +145,12 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     samples_per_sec = batch_size * signal_len / dt
     from wavenet_speech_tpu.utils.profiling import mfu as mfu_fn
 
-    flops = _model_flops(num_levels,
-                         [(num_levels, num_levels, 2, d) for d in wavenet_dils],
-                         [(num_levels, num_levels, 2, d) for d in classifier_dils],
-                         signal_len, batch_size, 4, remat)
+    strict_flops, hw_flops = _model_flops(
+        num_levels,
+        [(num_levels, num_levels, 2, d) for d in wavenet_dils],
+        [(num_levels, num_levels, 2, d) for d in classifier_dils],
+        signal_len, batch_size, 4, remat)
+    dtype = "bf16" if bf16 else "f32"
     print(json.dumps({
         "metric": "audio-samples/sec/chip (joint WaveNet-CTC train step, "
                   f"30+18 blocks, 256ch, L={signal_len}, B={batch_size}"
@@ -155,8 +159,13 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
         "step_ms": round(dt * 1e3, 2),
-        "mfu": round(mfu_fn(flops, dt, "bf16" if bf16 else "f32"), 4),
-        "model_tflops_per_step": round(flops / 1e12, 3),
+        # strict MFU: model FLOPs = 3x fwd, remat recompute EXCLUDED
+        "mfu": round(mfu_fn(strict_flops, dt, dtype), 4),
+        # hardware utilization: includes the remat extra forward the MXU
+        # actually executes (round 2 reported this as "MFU"; it is not)
+        "hw_flops_util": round(mfu_fn(hw_flops, dt, dtype), 4),
+        "model_tflops_per_step": round(strict_flops / 1e12, 3),
+        "hw_tflops_per_step": round(hw_flops / 1e12, 3),
     }))
 
 

@@ -283,6 +283,15 @@ def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
         C = cfg.get("model", {}).get("base", {}).get("signal_dim", 256)
         sig = jax.nn.one_hot(sig, C)
         sig = np.asarray(sig, np.float32)
+    elif sig.ndim == 2 and model_type == "wavenet-ctc":
+        # quantized-input model fed raw floats: apply the training
+        # pipeline's mu-law quantization + one-hot (data/common.py, the
+        # reference's utils/pore_model.py:58-96 law) per sequence
+        from wavenet_speech_tpu.data.common import MuLawQuantizer, one_hot_lc
+
+        C = cfg.get("model", {}).get("base", {}).get("signal_dim", 256)
+        q = MuLawQuantizer(C)
+        sig = np.stack([one_hot_lc(q(s), C) for s in sig.astype(np.float64)])
     elif sig.ndim == 2:
         sig = sig.astype(np.float32)[..., None]
 

@@ -54,7 +54,12 @@ def conv_stack_flops(layers: Iterable, seq_len: int, batch: int,
                      train: bool = True, remat: bool = False) -> float:
     """Approximate FLOPs of one step over a SkipSumStack layer list
     [(c_in, c_out, k, d)]: gate conv + fused 1x1 + residual + bottleneck.
-    train=True multiplies by 3 (fwd + bwd); remat adds one more fwd."""
+
+    train=True multiplies by 3 (fwd + bwd) — STRICT model FLOPs: MFU by
+    definition excludes rematerialization recompute. remat=True adds one
+    extra forward; use it only for hardware-FLOPs-utilization reporting
+    (how busy the MXU actually is), never for the headline MFU number.
+    """
     per_frame = 0.0
     for (c_in, c_out, k, _d) in layers:
         per_frame += 2 * (k * c_in * 2 * c_out    # fused gate conv
@@ -71,6 +76,8 @@ def conv_stack_flops(layers: Iterable, seq_len: int, batch: int,
 
 def mfu(flops_per_step: float, step_seconds: float,
         dtype: str = "bf16") -> float:
-    """Model FLOPs utilization vs chip peak."""
+    """Model FLOPs utilization vs chip peak. Pass STRICT model FLOPs
+    (3x fwd, no remat recompute); for the includes-recompute number use
+    the same function but name the result hw_flops_util."""
     peak = TPU_PEAK_TFLOPS[dtype] * 1e12
     return flops_per_step / step_seconds / peak
