@@ -105,11 +105,41 @@ class RawCTCNet(Module):
         return L + self.feature_kwidth - 1
 
     def apply(self, params: Params, seq):
-        """seq: (B, L, 1) raw waveform -> (B, L + fk - 1, num_labels)."""
+        """seq: (B, L, 1) raw waveform -> (B, L + fk - 1, num_labels).
+
+        Sequence parallelism: under a seq-sharded shard_map
+        (parallel/halo.seq_axis) the featurizer's full-width conv (which
+        EXTENDS the time axis by fk-1, the reference raw_ctcnet.py:57-61
+        quirk) is computed shard-locally from a both-sides (fk-1) halo:
+        the valid conv over the haloed window yields global output frames
+        [s*Ls, s*Ls + Ls + fk - 1) on shard s, from which each shard
+        dynamic-slices its even share of the global L + fk - 1 frames.
+        Exact (zero-fill ppermute reproduces the global edge padding);
+        requires n_shards | (fk - 1) so shares and offsets are integral.
+        """
+        from wavenet_speech_tpu.parallel.halo import current_seq_axis, halo_pad
+
         fk = self.feature_kwidth
-        # featurizer: pad (fk-1) both sides, NO length slice (reference quirk)
-        out = _conv1d(seq, params["feat_conv"]["w"], dilation=1,
-                      pad_left=fk - 1, pad_right=fk - 1)
+        h = fk - 1
+        axis = current_seq_axis()
+        if axis is not None and h > 0:
+            n = lax.psum(1, axis)
+            if h % int(n) != 0:
+                raise ValueError(
+                    f"sequence-sharded RawCTCNet needs seq shards ({int(n)}) "
+                    f"to divide feature_kwidth-1 ({h}) so the L+fk-1 output "
+                    f"shards evenly; pick fk == 1 (mod n_seq)")
+            xp = halo_pad(seq, h, h, axis)                 # (B, Ls+2h, 1)
+            v = _conv1d(xp, params["feat_conv"]["w"], dilation=1,
+                        pad_left=0, pad_right=0)           # (B, Ls+h, F)
+            share = h // int(n)
+            start = lax.axis_index(axis) * share
+            out = lax.dynamic_slice_in_dim(
+                v, start, seq.shape[1] + share, axis=1)    # (B, Ls+h/n, F)
+        else:
+            # featurizer: pad (fk-1) both sides, NO length slice (ref quirk)
+            out = _conv1d(seq, params["feat_conv"]["w"], dilation=1,
+                          pad_left=h, pad_right=h)
         out = out + params["feat_conv"]["b"]
         out = leaky_relu(out)
         out = jnp.einsum("blc,kcd->bld", out, params["feat_1x1"]["w"]) + params["feat_1x1"]["b"]
@@ -117,7 +147,11 @@ class RawCTCNet(Module):
 
         if self.positions:
             L = out.shape[1]
-            pos = jnp.arange(0, L, dtype=out.dtype)[None, :, None]  # (1, L, 1)
+            pos = jnp.arange(0, L, dtype=jnp.float32)[None, :, None]
+            if axis is not None:
+                # global frame index, not shard-local (1 x Ls x 1)
+                pos = pos + jnp.asarray(lax.axis_index(axis) * L, jnp.float32)
+            pos = pos.astype(out.dtype)
             p = params["positions_1x1"]
             out = out + hardtanh(pos @ p["w"][None] + p["b"])
 
