@@ -80,17 +80,31 @@ def _terminal_mask(B, J, lab2d):
     return jnp.where(ok, 0.0, NEG)
 
 
-def _fwd_kernel(lp_ref, skip_ref, len_ref, lab_ref, alphas_ref, ll_ref,
-                alpha_s, *, ct: int, nc: int):
+def _fwd_kernel(lp_ref, skip_ref, len_ref, lab_ref, ain_ref, toff_ref,
+                alphas_ref, ll_ref, aout_ref, alpha_s, *, ct: int, nc: int,
+                tl_true: int):
+    """Alpha recursion over one time SEGMENT.
+
+    Segment generality (for the sequence-sharded CTC,
+    parallel/ctc_sharded.py): the lattice state enters via ain_ref (the
+    previous shard's final alpha; NEG for a whole-sequence call), frame
+    indices are offset by toff_ref (global index = toff + local index) so
+    init/length masking key on global time, rows past tl_true (the
+    segment's unpadded length) are inert, and the final alpha leaves via
+    aout_ref for the next shard. The whole-sequence path (ctc_scan) is the
+    toff=0 / ain=NEG special case.
+    """
     i = pl.program_id(0)
     B, J = alpha_s.shape
     skipadd = skip_ref[...]          # (B, J) additive skip mask (0 / NEG)
     lengths = len_ref[...]           # (B, 1) int32
     lab2d = lab_ref[...]             # (B, 1) int32
+    toff = toff_ref[0, 0]            # scalar int32 global-frame offset
     iota = _iota_j(B, J)
 
     def frame(r, alpha):
-        t = i * ct + r
+        lt = i * ct + r              # segment-local frame index
+        t = toff + lt                # global frame index
         lp_t = lp_ref[r]             # (B, J)
         # standard lattice update
         a1 = _shift_right(alpha, 1, NEG)
@@ -102,20 +116,22 @@ def _fwd_kernel(lp_ref, skip_ref, len_ref, lab_ref, alphas_ref, ll_ref,
         init = jnp.where(
             (iota == 0) | ((iota == 1) & (lab2d > 0)), lp_t, NEG)
         new = jnp.where(t == 0, init, upd)
-        # frames past a sequence's length carry alpha through unchanged
-        alpha = jnp.where(t < lengths, new, alpha)
+        # frames past a sequence's length (or the segment's padded tail)
+        # carry alpha through unchanged
+        alpha = jnp.where((lt < tl_true) & (t < lengths), new, alpha)
         alphas_ref[r] = alpha
         return alpha
 
     @pl.when(i == 0)
     def _():
-        alpha_s[...] = jnp.full((B, J), NEG, jnp.float32)
+        alpha_s[...] = ain_ref[...]
 
     alpha = jax.lax.fori_loop(0, ct, frame, alpha_s[...])
     alpha_s[...] = alpha
 
     @pl.when(i == nc - 1)
     def _():
+        aout_ref[...] = alpha
         term = _terminal_mask(B, J, lab2d)
         m = jnp.max(alpha + term, axis=1, keepdims=True)
         ll = m + jnp.log(jnp.sum(jnp.exp(alpha + term - m), axis=1,
@@ -124,7 +140,14 @@ def _fwd_kernel(lp_ref, skip_ref, len_ref, lab_ref, alphas_ref, ll_ref,
 
 
 def _bwd_kernel(lp_ref, alphas_ref, skip_ref, len_ref, lab_ref, ll_ref,
-                cot_ref, grad_ref, lpb_s, *, ct: int, nc: int):
+                cot_ref, bin_ref, toff_ref, grad_ref, bout_ref, lpb_s, *,
+                ct: int, nc: int, tl_true: int):
+    """Beta recursion + posterior-occupancy gradient over one SEGMENT,
+    mirroring _fwd_kernel's segment generality: the carried lp+beta state
+    enters via bin_ref (the NEXT shard's first-frame state; NEG for a
+    whole-sequence call) and leaves via bout_ref for the previous shard;
+    frame indices are offset by toff_ref; padded-tail rows write zero grad
+    and pass the carry through."""
     i = pl.program_id(0)             # reversed grid: block nc-1-i
     B, J = lpb_s.shape
     skipadd = skip_ref[...]
@@ -132,17 +155,19 @@ def _bwd_kernel(lp_ref, alphas_ref, skip_ref, len_ref, lab_ref, ll_ref,
     lab2d = lab_ref[...]
     ll = ll_ref[...]                 # (B, 1)
     cot = cot_ref[...]               # (B, 1)
+    toff = toff_ref[0, 0]
     term = _terminal_mask(B, J, lab2d)
     # transition j -> j+2 allowed iff skip into state j+2 is allowed
     sk2 = _shift_left(skipadd, 2, NEG)
 
     @pl.when(i == 0)
     def _():
-        lpb_s[...] = jnp.full((B, J), NEG, jnp.float32)
+        lpb_s[...] = bin_ref[...]
 
     def frame(r_, lpb):
         r = ct - 1 - r_
-        t = (nc - 1 - i) * ct + r
+        lt = (nc - 1 - i) * ct + r
+        t = toff + lt
         lp_t = lp_ref[r]
         alpha_t = alphas_ref[r]
         b1 = _shift_left(lpb, 1, NEG)
@@ -151,10 +176,17 @@ def _bwd_kernel(lp_ref, alphas_ref, skip_ref, len_ref, lab_ref, ll_ref,
         is_term = t == lengths - 1
         live = t < lengths
         beta_t = jnp.where(is_term, term, jnp.where(live, rec, NEG))
-        grad_ref[r] = jnp.exp(alpha_t + beta_t - ll) * cot
-        return lp_t + beta_t
+        valid = lt < tl_true
+        grad_ref[r] = jnp.where(valid,
+                                jnp.exp(alpha_t + beta_t - ll) * cot, 0.0)
+        return jnp.where(valid, lp_t + beta_t, lpb)
 
-    lpb_s[...] = jax.lax.fori_loop(0, ct, frame, lpb_s[...])
+    lpb = jax.lax.fori_loop(0, ct, frame, lpb_s[...])
+    lpb_s[...] = lpb
+
+    @pl.when(i == nc - 1)
+    def _():
+        bout_ref[...] = lpb
 
 
 def _pad_T(x, ct):
@@ -188,7 +220,8 @@ def _interpret_default() -> bool:
 
 
 def _ctc_fwd_impl(lp_ext_t, skipadd, logit_lengths, label_lengths,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, alpha_in=None, t_offset=None,
+                  tl_true: int | None = None):
     interpret = _interpret_default() if interpret is None else interpret
     T, B, J = lp_ext_t.shape
     ct = _pick_ct(T, B, J)
@@ -197,42 +230,58 @@ def _ctc_fwd_impl(lp_ext_t, skipadd, logit_lengths, label_lengths,
     nc = Tp // ct
     len2d = logit_lengths.astype(jnp.int32).reshape(B, 1)
     lab2d = label_lengths.astype(jnp.int32).reshape(B, 1)
+    if alpha_in is None:
+        alpha_in = jnp.full((B, J), NEG, jnp.float32)
+    toff2d = (jnp.zeros((1, 1), jnp.int32) if t_offset is None
+              else jnp.asarray(t_offset, jnp.int32).reshape(1, 1))
+    tl_true = Tp if tl_true is None else tl_true
 
-    alphas, ll = pl.pallas_call(
-        partial(_fwd_kernel, ct=ct, nc=nc),
+    alphas, ll, alpha_out = pl.pallas_call(
+        partial(_fwd_kernel, ct=ct, nc=nc, tl_true=tl_true),
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((ct, B, J), lambda i: (i, 0, 0)),   # lp_ext chunk
             pl.BlockSpec((B, J), lambda i: (0, 0)),          # skipadd
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # lengths
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # label lengths
+            pl.BlockSpec((B, J), lambda i: (0, 0)),          # alpha_in
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),          # t offset
         ],
         out_specs=(
             pl.BlockSpec((ct, B, J), lambda i: (i, 0, 0)),   # alphas
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # ll
+            pl.BlockSpec((B, J), lambda i: (0, 0)),          # alpha_out
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Tp, B, J), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, J), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((B, J), jnp.float32)],
         interpret=interpret,
-    )(lp_pad, skipadd.astype(jnp.float32), len2d, lab2d)
-    return ll[:, 0], (lp_pad, alphas)
+    )(lp_pad, skipadd.astype(jnp.float32), len2d, lab2d,
+      alpha_in.astype(jnp.float32), toff2d)
+    return ll[:, 0], (lp_pad, alphas, alpha_out)
 
 
 def _ctc_bwd_impl(lp_pad, alphas, skipadd, logit_lengths, label_lengths,
-                  ll, cot, T: int, interpret: bool | None = None):
+                  ll, cot, T: int, interpret: bool | None = None,
+                  lpb_in=None, t_offset=None, tl_true: int | None = None):
     interpret = _interpret_default() if interpret is None else interpret
     Tp, B, J = lp_pad.shape
     ct = _pick_ct(Tp, B, J)
     nc = Tp // ct
     len2d = logit_lengths.astype(jnp.int32).reshape(B, 1)
     lab2d = label_lengths.astype(jnp.int32).reshape(B, 1)
+    if lpb_in is None:
+        lpb_in = jnp.full((B, J), NEG, jnp.float32)
+    toff2d = (jnp.zeros((1, 1), jnp.int32) if t_offset is None
+              else jnp.asarray(t_offset, jnp.int32).reshape(1, 1))
+    tl_true = Tp if tl_true is None else tl_true
 
     rev = lambda i: (nc - 1 - i, 0, 0)
-    grad = pl.pallas_call(
-        partial(_bwd_kernel, ct=ct, nc=nc),
+    grad, lpb_out = pl.pallas_call(
+        partial(_bwd_kernel, ct=ct, nc=nc, tl_true=tl_true),
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((ct, B, J), rev),                   # lp_ext chunk
@@ -242,27 +291,36 @@ def _ctc_bwd_impl(lp_pad, alphas, skipadd, logit_lengths, label_lengths,
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # label lengths
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # ll
             pl.BlockSpec((B, 1), lambda i: (0, 0)),          # cotangent
+            pl.BlockSpec((B, J), lambda i: (0, 0)),          # lpb_in carry
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),          # t offset
         ],
-        out_specs=pl.BlockSpec((ct, B, J), rev),
-        out_shape=jax.ShapeDtypeStruct((Tp, B, J), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((ct, B, J), rev),
+            pl.BlockSpec((B, J), lambda i: (0, 0)),          # lpb_out carry
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, B, J), jnp.float32),
+            jax.ShapeDtypeStruct((B, J), jnp.float32),
+        ),
         scratch_shapes=[pltpu.VMEM((B, J), jnp.float32)],
         interpret=interpret,
     )(lp_pad, alphas, skipadd.astype(jnp.float32), len2d, lab2d,
-      ll.reshape(B, 1), cot.reshape(B, 1).astype(jnp.float32))
-    return grad[:T]
+      ll.reshape(B, 1), cot.reshape(B, 1).astype(jnp.float32),
+      lpb_in.astype(jnp.float32), toff2d)
+    return grad[:T], lpb_out
 
 
 def _ctc_scan_fwd(lp_ext_t, skipadd, logit_lengths, label_lengths):
-    ll, (lp_pad, alphas) = _ctc_fwd_impl(lp_ext_t, skipadd, logit_lengths,
-                                         label_lengths)
+    ll, (lp_pad, alphas, _) = _ctc_fwd_impl(lp_ext_t, skipadd, logit_lengths,
+                                            label_lengths)
     return ll, (lp_pad, alphas, skipadd, logit_lengths, label_lengths, ll,
                 lp_ext_t.shape[0])
 
 
 def _ctc_scan_bwd(res, cot):
     lp_pad, alphas, skipadd, logit_lengths, label_lengths, ll, T = res
-    grad = _ctc_bwd_impl(lp_pad, alphas, skipadd, logit_lengths,
-                         label_lengths, ll, cot, T)
+    grad, _ = _ctc_bwd_impl(lp_pad, alphas, skipadd, logit_lengths,
+                            label_lengths, ll, cot, T)
     return (grad, jnp.zeros_like(skipadd), _float0(logit_lengths),
             _float0(label_lengths))
 
@@ -272,6 +330,44 @@ ctc_scan.defvjp(_ctc_scan_fwd, _ctc_scan_bwd)
 
 def pallas_ctc_available() -> bool:
     return _PALLAS_OK and jax.default_backend() == "tpu"
+
+
+def ctc_fwd_segment(lp_ext_t, skipadd, logit_lengths, label_lengths,
+                    alpha_in, t_offset, interpret: bool | None = None):
+    """Advance the alpha lattice over ONE time segment (the per-shard piece
+    of the sequence-sharded CTC, parallel/ctc_sharded.py).
+
+    Args: lp_ext_t (Tl, B, J) local extended-label log-probs; alpha_in
+    (B, J) the previous shard's final alpha (NEG matrix on shard 0);
+    t_offset scalar int32 global index of local frame 0.
+    Returns (ll, alphas_pad, alpha_out): ll (B,) terminal log-likelihoods
+    AS IF this were the last segment (only meaningful on the last shard),
+    alphas_pad (Tp, B, J) saved for the backward segment, alpha_out (B, J)
+    the carry for the next shard.
+    """
+    ll, (_, alphas, alpha_out) = _ctc_fwd_impl(
+        lp_ext_t, skipadd, logit_lengths, label_lengths,
+        interpret=interpret, alpha_in=alpha_in, t_offset=t_offset,
+        tl_true=lp_ext_t.shape[0])
+    return ll, alphas, alpha_out
+
+
+def ctc_bwd_segment(lp_ext_t, alphas_pad, skipadd, logit_lengths,
+                    label_lengths, ll, cot, lpb_in, t_offset,
+                    interpret: bool | None = None):
+    """Beta recursion + posterior-occupancy gradient over ONE segment.
+
+    lpb_in (B, J): the next shard's first-frame lp+beta state (NEG matrix
+    on the last shard); ll (B,) the GLOBAL terminal log-likelihoods.
+    Returns (grad, lpb_out): grad (Tl, B, J) = d(ll)/d(lp_ext_t) * cot,
+    lpb_out (B, J) the carry for the previous shard.
+    """
+    T = lp_ext_t.shape[0]
+    Tp = alphas_pad.shape[0]
+    lp_pad = jnp.pad(lp_ext_t.astype(jnp.float32), ((0, Tp - T), (0, 0), (0, 0)))
+    return _ctc_bwd_impl(lp_pad, alphas_pad, skipadd, logit_lengths,
+                         label_lengths, ll, cot, T, interpret=interpret,
+                         lpb_in=lpb_in, t_offset=t_offset, tl_true=T)
 
 
 def ctc_forward_logprob_pallas(log_probs, logit_lengths, labels,
