@@ -101,19 +101,32 @@ class Basecaller:
             [0.0] * labels.shape[0]
 
     def basecall_long(self, signal, chunk_len: int = 16384,
-                      margin: Optional[int] = None, chunk_batch: int = 8
-                      ) -> Tuple[str, float]:
+                      margin: Optional[int] = None, chunk_batch: int = 8,
+                      beam_chunk_frames: int = 4096,
+                      label_window: int = 2048) -> Tuple[str, float]:
         """Basecall ONE read of arbitrary length via overlapping chunks
-        (see chunked_logits); the stitched logits are decoded in one beam /
-        greedy pass. signal: (L, C)."""
+        (see chunked_logits). signal: (L, C).
+
+        Beam decoding streams the stitched logits through the bounded-
+        memory beam (decoding/streaming.py): the beam state is carried
+        chunk-to-chunk and finalized prefixes are committed to the host, so
+        cost is linear in read length — a monolithic beam over L_out ~ 10^6
+        frames would carry (W, 10^6) prefix buffers and an O(W^2 * 10^6)
+        per-frame merge. Parity with the monolithic beam (whenever the
+        label window does not saturate) is tested in
+        tests/test_streaming_beam.py."""
         logits = chunked_logits(self.model, self.params, jnp.asarray(
             np.asarray(signal, np.float32)), chunk_len, margin, chunk_batch)
         if self.beam_width > 0:
-            prefixes, plens, scores = ctc_beam_search_jax(
-                logits[None], beam_width=self.beam_width, blank=self.blank,
-                max_label_len=self.max_label_len or logits.shape[0])
-            p, n = np.asarray(prefixes)[0, 0], int(np.asarray(plens)[0, 0])
-            return labels2strings([p[:n]])[0], float(np.asarray(scores)[0, 0])
+            from wavenet_speech_tpu.decoding.streaming import (
+                streaming_beam_decode,
+            )
+
+            labels, score, _ = streaming_beam_decode(
+                logits, beam_width=self.beam_width,
+                label_window=label_window, chunk_frames=beam_chunk_frames,
+                blank=self.blank, log_input=False)
+            return labels2strings([labels])[0], score
         labels = np.asarray(jnp.argmax(logits, axis=-1))[None]
         return labels2strings(ctc_collapse(labels, blank=self.blank))[0], 0.0
 
