@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 
 def main(argv=None):
@@ -30,9 +31,17 @@ def main(argv=None):
                     help="model scale vs the 2048-feat eval config")
     ap.add_argument("--beam-width", type=int, default=7)
     ap.add_argument("--max-label-len", type=int, default=256)
+    ap.add_argument("--labels", type=int, default=5,
+                    help="alphabet size incl. blank (5 = DNA; ~30 = speech "
+                         "characters — substantiates ctc_beam_device.py's "
+                         "speech-alphabet claim, VERDICT r2 #7)")
+    ap.add_argument("--prune-labels", type=int, default=None,
+                    help="per-frame top-K label pre-prune (cutoff_top_n)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--engines", nargs="+",
-                    default=["device", "native", "greedy"])
+                    default=["device", "native", "greedy"],
+                    help="device | native | greedy | beam-only (beam scan "
+                         "on precomputed log-probs, no model forward)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 forward (beam/argmax stay f32 on logits)")
@@ -52,7 +61,8 @@ def main(argv=None):
     nfeats = max(int(2048 * args.scale), 16)
     cycle = tuple((nfeats, nfeats, 2, d) for d in (1, 2, 4, 8, 16)) \
         + tuple((nfeats, nfeats, 3, d) for d in (1, 2, 4, 8, 16))
-    net = RawCTCNet(nfeats, 3, 5, cycle, max(int(512 * args.scale), 16),
+    net = RawCTCNet(nfeats, 3, args.labels, cycle,
+                    max(int(512 * args.scale), 16),
                     positions=False, softmax=False, causal=False)
     params = net.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -71,7 +81,8 @@ def main(argv=None):
     def device_pipeline(p, x):
         logits = fwd(p, x)
         return ctc_beam_search_jax(logits, beam_width=args.beam_width,
-                                   max_label_len=args.max_label_len)
+                                   max_label_len=args.max_label_len,
+                                   prune=args.prune_labels)
 
     def greedy_pipeline(p, x):
         return argmax_decode(fwd(p, x))
@@ -91,6 +102,24 @@ def main(argv=None):
             def run():
                 out = ctc_collapse(np.asarray(f(params, signal)))
                 return len(out)
+        elif engine == "beam-only":
+            # isolate the beam from the model forward: precomputed
+            # log-probs straight into the scan (where the O(W^2*S) merge
+            # cost shows undiluted)
+            import jax.numpy as jnp
+
+            lp_only = jnp.asarray(jax.nn.log_softmax(jnp.asarray(
+                rng.standard_normal(
+                    (args.batch_size, args.signal_len + 2, args.labels)
+                ).astype(np.float32) * 3.0), axis=-1))
+            f = jax.jit(partial(
+                ctc_beam_search_jax, beam_width=args.beam_width,
+                max_label_len=args.max_label_len, log_input=True,
+                prune=args.prune_labels))
+
+            def run():
+                out = f(lp_only)
+                return float(out[2][0, 0])
         elif engine == "native":
             from wavenet_speech_tpu.native.ctc_beam import (
                 ctc_beam_search_native, native_available)
@@ -123,6 +152,7 @@ def main(argv=None):
             "step_ms": round(dt * 1e3, 2),
             "batch": args.batch_size, "L": args.signal_len,
             "beam_width": args.beam_width, "nfeats": nfeats,
+            "labels": args.labels, "prune": args.prune_labels,
         }))
     return results
 

@@ -143,3 +143,42 @@ def test_seq_sharded_beam_replicated_batch():
                                             max_label_len=S)
     np.testing.assert_array_equal(np.asarray(ld), np.asarray(l1))
     np.testing.assert_allclose(np.asarray(sd), np.asarray(s1), rtol=1e-5)
+
+
+def test_prune_noop_when_k_equals_c():
+    """prune=C must reproduce the exact (unpruned) search bit-for-bit in
+    labels/lengths and to fp tolerance in scores."""
+    rng = np.random.default_rng(21)
+    B, T, C, W, S = 3, 40, 5, 7, 20
+    logits = (2.0 * rng.standard_normal((B, T, C))).astype(np.float32)
+    p0, l0, s0 = ctc_beam_search_jax(logits, beam_width=W, max_label_len=S)
+    p1, l1, s1 = ctc_beam_search_jax(logits, beam_width=W, max_label_len=S,
+                                     prune=C)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(B):
+        for w in range(W):
+            n = int(np.asarray(l0)[b, w])
+            np.testing.assert_array_equal(np.asarray(p1)[b, w, :n],
+                                          np.asarray(p0)[b, w, :n])
+
+
+def test_prune_speech_alphabet_matches_exact():
+    """cutoff_top_n at K=2W on a 30-label (speech-character) alphabet with
+    realistic peaked logits: the pruned search finds the same best
+    hypothesis as the exact search (labels that survive the top-W cut are
+    inside the frame's top-K)."""
+    rng = np.random.default_rng(22)
+    B, T, C, W, S = 3, 60, 30, 16, 30
+    logits = (3.0 * rng.standard_normal((B, T, C))).astype(np.float32)
+    logits[:, rng.random(T) < 0.7, 0] += 5.0  # blank-dominant frames
+    p0, l0, s0 = ctc_beam_search_jax(logits, beam_width=W, max_label_len=S)
+    p1, l1, s1 = ctc_beam_search_jax(logits, beam_width=W, max_label_len=S,
+                                     prune=2 * W)
+    for b in range(B):
+        n = int(np.asarray(l0)[b, 0])
+        assert int(np.asarray(l1)[b, 0]) == n
+        np.testing.assert_array_equal(np.asarray(p1)[b, 0, :n],
+                                      np.asarray(p0)[b, 0, :n])
+    np.testing.assert_allclose(np.asarray(s1)[:, 0], np.asarray(s0)[:, 0],
+                               rtol=1e-4)

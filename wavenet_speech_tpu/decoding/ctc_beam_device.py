@@ -72,9 +72,17 @@ def _select_rows(onehot, table):
     return out.reshape((onehot.shape[0],) + table.shape[1:]).astype(table.dtype)
 
 
-def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int):
+def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int,
+               prune: Optional[int] = None):
     """One frame of prefix beam search.
-    state = (prefixes, plens, pb, pnb, times); lp = (C,) log-probs; t = frame."""
+    state = (prefixes, plens, pb, pnb, times); lp = (C,) log-probs; t = frame.
+
+    prune: consider only the frame's top-`prune` labels as extension
+    candidates (the native ctcdecode's cutoff_top_n) — cuts the candidate
+    pool from W*(1+C) to W*(1+prune) for large alphabets; exact whenever
+    every label that would survive the top-W cut is in the frame's top-K
+    (in practice K ~ 2W loses nothing — benchmarks/decode.py measures it).
+    """
     prefixes, plens, pb, pnb, times = state
     W, S = prefixes.shape
     C = num_labels
@@ -93,12 +101,18 @@ def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int):
     stay_pb = total + lp[blank]
     stay_pnb = pnb + lp_last  # -inf for empty prefixes
 
-    # --- extend candidates: one per (beam, label != blank) ---
-    labels = jnp.arange(C)  # includes blank; masked below
+    # --- extend candidates: one per (beam, candidate label != blank) ---
+    if prune is not None and prune < C:
+        lp_cand, labels = lax.top_k(lp, prune)  # (K,) frame's best labels
+        K = prune
+    else:
+        labels = jnp.arange(C)  # includes blank; masked below
+        lp_cand = lp
+        K = C
     # P(prefix+c ends nonblank): pb + lp[c] if c == last else total + lp[c]
     ext_src = jnp.where(labels[None, :] == last[:, None],
-                        pb[:, None], total[:, None])  # (W, C)
-    ext_pnb = ext_src + lp[None, :]  # (W, C)
+                        pb[:, None], total[:, None])  # (W, K)
+    ext_pnb = ext_src + lp_cand[None, :]  # (W, K)
     can_extend = (labels[None, :] != blank) & (plens[:, None] < max_len)
     ext_pnb = jnp.where(can_extend, ext_pnb, NEG_INF)
 
@@ -110,9 +124,14 @@ def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int):
     is_parent = (eq_vw
                  & (plens[None, :] == plens[:, None] + 1)
                  & alive[None, :])  # merge targets must be live
-    # contribution of ext(v, last_w) into stay(w)'s non-blank mass
-    c_w = jnp.clip(last, 0, C - 1)  # (W,) last label of target (valid when
-    ext_at_cw = ext_pnb @ _onehot_rows(c_w, C).T  # (W_v, W_w) is_parent)
+    # contribution of ext(v, last_w) into stay(w)'s non-blank mass; the
+    # candidate label set may be pruned, so match labels by VALUE (at most
+    # one candidate slot equals last_w -> masked-max selects it)
+    label_is_cw = labels[None, :] == last[None, :].T  # (W_w, K) -> (W_w, K)
+    ext_at_cw = jnp.max(
+        jnp.where(label_is_cw[None, :, :],          # (1, W_w, K)
+                  ext_pnb[:, None, :],              # (W_v, 1, K)
+                  NEG_INF), axis=-1)                # (W_v, W_w)
     contrib = jnp.where(is_parent, ext_at_cw, NEG_INF)
     contrib_mass = jax.nn.logsumexp(contrib, axis=0)  # (W,)
     # merged times follow the more probable path family (ctcdecode reports
@@ -129,32 +148,32 @@ def _beam_step(state, lp, t, *, num_labels: int, blank: int, max_len: int):
     # consumed extends must leave the candidate pool (mass moved to stay)
     consumed = jnp.any(
         is_parent[:, :, None] & (last[None, :, None] == labels[None, None, :]),
-        axis=1)  # (W_v, C)
+        axis=1)  # (W_v, K)
     ext_pnb = jnp.where(consumed, NEG_INF, ext_pnb)
 
     # extended prefixes/times: label c / frame t written at position plen
     pos_onehot = (jnp.arange(S)[None, :] == plens[:, None])  # (W, S)
     ext_prefixes = jnp.where(pos_onehot[:, None, :],
                              labels[None, :, None],
-                             prefixes[:, None, :])  # (W, C, S)
+                             prefixes[:, None, :])  # (W, K, S)
     ext_times = jnp.broadcast_to(
         jnp.where(pos_onehot[:, None, :], t, times[:, None, :]),
-        (W, C, S))  # (W, C, S)
+        (W, K, S))  # (W, K, S)
     ext_plens = jnp.minimum(plens + 1, max_len)
 
-    # --- assemble candidate set: W stay + W*C extend (blank col masked) ---
+    # --- assemble candidate set: W stay + W*K extend (blank col masked) ---
     cand_prefixes = jnp.concatenate(
-        [prefixes, ext_prefixes.reshape(W * C, S)], axis=0)  # (N, S)
-    cand_times = jnp.concatenate([stay_times, ext_times.reshape(W * C, S)],
+        [prefixes, ext_prefixes.reshape(W * K, S)], axis=0)  # (N, S)
+    cand_times = jnp.concatenate([stay_times, ext_times.reshape(W * K, S)],
                                  axis=0)
     cand_plens = jnp.concatenate(
-        [plens, jnp.broadcast_to(ext_plens[:, None], (W, C)).reshape(W * C)])
-    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * C,), NEG_INF)])
-    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(W * C)])
+        [plens, jnp.broadcast_to(ext_plens[:, None], (W, K)).reshape(W * K)])
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * K,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(W * K)])
 
     # --- top-W by total probability (gather-free selection) ---
     top_vals, top_idx = lax.top_k(_totals(cand_pb, cand_pnb), W)
-    sel = _onehot_rows(top_idx, W + W * C)
+    sel = _onehot_rows(top_idx, W + W * K)
     return (_select_rows(sel, cand_prefixes), _select_rows(sel, cand_plens),
             _select_rows(sel, cand_pb), _select_rows(sel, cand_pnb),
             _select_rows(sel, cand_times))
@@ -173,13 +192,14 @@ def beam_init(beam_width: int, max_label_len: int):
             jnp.zeros((W, S), jnp.int32))          # times
 
 
-def beam_scan(state, log_probs, ts, length, *, blank: int = 0):
+def beam_scan(state, log_probs, ts, length, *, blank: int = 0,
+              prune: Optional[int] = None):
     """Advance a beam state over frames `log_probs` ((T, C) log-softmax)
     whose *global* frame indices are `ts` ((T,) int32); frames with
     ts >= length carry the state through unchanged."""
     W, S = state[0].shape
     step = partial(_beam_step, num_labels=log_probs.shape[-1], blank=blank,
-                   max_len=S)
+                   max_len=S, prune=prune)
 
     def scan_fn(st, xt):
         lp, t = xt
@@ -204,16 +224,18 @@ def beam_finalize(state):
 
 
 def _search_single(log_probs, length, *, beam_width: int, blank: int,
-                   max_label_len: int):
+                   max_label_len: int, prune: Optional[int] = None):
     T, C = log_probs.shape
     state = beam_init(beam_width, max_label_len)
-    state = beam_scan(state, log_probs, jnp.arange(T), length, blank=blank)
+    state = beam_scan(state, log_probs, jnp.arange(T), length, blank=blank,
+                      prune=prune)
     return beam_finalize(state)
 
 
 def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
                         blank: int = 0, max_label_len: Optional[int] = None,
-                        log_input: bool = False, return_times: bool = False
+                        log_input: bool = False, return_times: bool = False,
+                        prune: Optional[int] = None
                         ) -> Tuple[jnp.ndarray, ...]:
     """Batched on-device CTC prefix beam search.
 
@@ -223,6 +245,8 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
       max_label_len: cap on decoded length (default: T).
       return_times: also return per-label emission frames (the native
         ctcdecode's `times` output, eval notebook cells 19-22).
+      prune: per-frame top-K label pre-prune for large alphabets
+        (ctcdecode's cutoff_top_n); None = exact over all C labels.
     Returns:
       prefixes: (B, W, S) int32 label arrays (0-padded)
       plens:    (B, W) int32 decoded lengths
@@ -235,7 +259,7 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
     lengths = jnp.full((B,), T, jnp.int32) if lengths is None else jnp.asarray(lengths)
     S = int(max_label_len) if max_label_len is not None else T
     fn = partial(_search_single, beam_width=beam_width, blank=blank,
-                 max_label_len=S)
+                 max_label_len=S, prune=prune)
     prefixes, plens, scores, times = jax.vmap(fn)(lp, lengths)
     if return_times:
         return prefixes, plens, scores, times
