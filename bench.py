@@ -177,5 +177,13 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--pallas", action="store_true",
                     help="fused Pallas forward for the WaveNet blocks")
+    ap.add_argument("--fused-bwd", action="store_true",
+                    help="fused Pallas BACKWARD too (remat-in-VMEM kernel; "
+                         "implies --pallas). The compile is new Mosaic "
+                         "territory — run backgrounded with a timeout, "
+                         "never SIGKILL mid-compile (CLAUDE.md)")
     a = ap.parse_args()
-    main(steps=a.steps, remat=not a.no_remat, use_pallas=a.pallas)
+    if a.fused_bwd:
+        os.environ["WAVENET_FUSED_BWD"] = "1"
+    main(steps=a.steps, remat=not a.no_remat,
+         use_pallas=a.pallas or a.fused_bwd)

@@ -85,3 +85,30 @@ def test_mixed_precision_step(rng):
     assert np.isfinite(float(metrics["ctc_loss"]))
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_fused_backward_kernel_matches_xla_vjp():
+    """The hand-written fused BACKWARD kernel (remat-in-VMEM, VERDICT r2
+    #1b) vs the XLA composite's VJP, in interpret mode (pure-JAX kernel
+    semantics; the TPU lowering is hardware-verified via bench.py
+    --fused-bwd and the verify skill)."""
+    from wavenet_speech_tpu.ops.pallas.residual_block import _pallas_bwd
+
+    rng = np.random.default_rng(7)
+    for (B, L, C, k, d, tl) in ((2, 100, 8, 2, 4, 32), (1, 64, 16, 3, 8, 64),
+                                (2, 50, 8, 2, 16, 16)):
+        mk = lambda *s: jnp.asarray(
+            rng.standard_normal(s).astype(np.float32) * 0.3)
+        x, gw, gb = mk(B, L, C), mk(k, C, 2 * C), mk(2 * C)
+        ow, ob, rw, rb = mk(C, 2 * C), mk(2 * C), mk(C, C), mk(C)
+        dr, dsk = mk(B, L, C), mk(B, L, C)
+        _, vjp = jax.vjp(lambda *a: _xla_reference(*a, dilation=d),
+                         x, gw, gb, ow, ob, rw, rb)
+        ref = vjp((dr, dsk))
+        got = _pallas_bwd(x, gw, ow, rw, dr, dsk, dilation=d, tile_l=tl,
+                          gate_b=gb, interpret=True)
+        for name, a, b in zip(("dx", "dWg", "dbg", "dWo", "dbo", "dWr",
+                               "dbr"), ref, got):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name} (B={B} L={L} C={C} k={k} d={d} tl={tl})")
