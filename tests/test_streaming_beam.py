@@ -105,3 +105,34 @@ def test_basecall_long_beam_on_20k_read():
     ref_labels, ref_score = _monolithic(np.asarray(logits), W=5)
     assert seq == labels2strings([ref_labels])[0]
     assert abs(score - ref_score) < 1e-2
+
+
+def test_batched_streaming_matches_per_sequence():
+    """StreamingBeamBatch (vmapped chunk scans, per-read host commits) must
+    equal the single-sequence streaming decoder per read, including ragged
+    per-read lengths on a shared chunk grid."""
+    from wavenet_speech_tpu.decoding.streaming import StreamingBeamBatch
+
+    B, T, C = 3, 900, 5
+    lengths = np.asarray([900, 700, 512], np.int32)
+    lps = []
+    for b in range(B):
+        logits = _peaked_logits(T, C=C, seed=40 + b)
+        lps.append(np.asarray(jax.nn.log_softmax(jnp.asarray(logits),
+                                                 axis=-1)))
+    lp = np.stack(lps)
+
+    sbb = StreamingBeamBatch(B, lengths, beam_width=7, label_window=256)
+    for s in range(0, T, 300):
+        sbb.feed(lp[:, s: s + 300])
+    batch_out = sbb.finalize()
+    assert sbb.saturated_chunks == 0
+
+    for b in range(B):
+        ref_labels, ref_score, _ = streaming_beam_decode(
+            lp[b, : lengths[b]], beam_width=7, label_window=256,
+            chunk_frames=300)
+        labels, score, tms = batch_out[b]
+        np.testing.assert_array_equal(labels, ref_labels)
+        assert abs(score - ref_score) < 1e-3
+        assert len(tms) == len(labels)

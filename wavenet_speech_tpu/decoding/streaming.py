@@ -131,6 +131,91 @@ class StreamingBeam:
         return labels, float(scores[0]), tms
 
 
+class StreamingBeamBatch:
+    """Serving-scale variant: decode a BATCH of long sequences concurrently
+    — one vmapped chunk scan on device per feed, per-sequence
+    commits/shifts on host (each read's window advances independently).
+
+    All sequences share the chunk grid; per-read true lengths are fixed
+    upfront (frames with global index >= length carry state through, so
+    ragged reads just stop absorbing frames early)."""
+
+    def __init__(self, batch: int, lengths, beam_width: int = 7,
+                 label_window: int = 2048, blank: int = 0):
+        self.batch = int(batch)
+        self.lengths = np.asarray(lengths, np.int32)
+        assert self.lengths.shape == (self.batch,)
+        self.beam_width = int(beam_width)
+        self.window = int(label_window)
+        self.blank = int(blank)
+        one = beam_init(self.beam_width, self.window)
+        self.state = jax.tree_util.tree_map(
+            lambda a: np.broadcast_to(np.asarray(a)[None],
+                                      (self.batch,) + a.shape).copy(), one)
+        self.committed = [[] for _ in range(self.batch)]
+        self.committed_times = [[] for _ in range(self.batch)]
+        self.frames_fed = 0
+        self.saturated_chunks = 0
+        self._scan = jax.jit(jax.vmap(
+            partial(beam_scan, blank=self.blank), in_axes=(0, 0, None, 0)))
+
+    def feed(self, log_probs: np.ndarray) -> None:
+        """log_probs: (B, T_c, C) log-softmax chunk (same grid for all)."""
+        B, T, _ = log_probs.shape
+        assert B == self.batch
+        ts = jnp.arange(self.frames_fed, self.frames_fed + T, dtype=jnp.int32)
+        # np.array (not asarray): _commit_all shifts windows in place
+        self.state = jax.tree_util.tree_map(np.array, self._scan(
+            self.state, jnp.asarray(log_probs, jnp.float32), ts,
+            jnp.asarray(self.lengths)))
+        self.frames_fed += T
+        self._commit_all()
+
+    def _commit_all(self) -> None:
+        prefixes, plens, pb, pnb, times = self.state
+        total = np.logaddexp(pb, pnb)  # (B, W)
+        for b in range(self.batch):
+            alive = total[b] > NEG_INF / 2
+            if not alive.any():
+                continue
+            live_p = prefixes[b][alive]
+            k_max = int(plens[b][alive].min()) - 1  # keep >=1 label (see
+            if k_max <= 0:                          # StreamingBeam._commit)
+                continue
+            agree = np.all(live_p[:, :k_max] == live_p[0:1, :k_max], axis=0)
+            k = int(np.argmin(agree)) if not agree.all() else k_max
+            if k <= 0:
+                continue
+            self.committed[b].extend(int(x) for x in live_p[0, :k])
+            self.committed_times[b].extend(
+                int(x) for x in times[b][alive][0, :k])
+            prefixes[b] = np.roll(prefixes[b], -k, axis=1)
+            times[b] = np.roll(times[b], -k, axis=1)
+            plens[b] = plens[b] - k
+        for b in range(self.batch):
+            alive = total[b] > NEG_INF / 2
+            if alive.any() and int(plens[b][alive].max()) >= self.window:
+                self.saturated_chunks += 1
+
+    def finalize(self):
+        """List of (labels, score, times) per sequence, best hypothesis."""
+        fin = jax.jit(jax.vmap(beam_finalize))(
+            jax.tree_util.tree_map(jnp.asarray, self.state))
+        prefixes, plens, scores, times = jax.tree_util.tree_map(
+            np.asarray, fin)
+        out = []
+        for b in range(self.batch):
+            n = int(plens[b, 0])
+            labels = np.concatenate(
+                [np.asarray(self.committed[b], np.int32),
+                 prefixes[b, 0, :n]])
+            tms = np.concatenate(
+                [np.asarray(self.committed_times[b], np.int32),
+                 times[b, 0, :n]])
+            out.append((labels, float(scores[b, 0]), tms))
+        return out
+
+
 def streaming_beam_decode(log_probs, beam_width: int = 7,
                           label_window: int = 2048, chunk_frames: int = 4096,
                           blank: int = 0, log_input: bool = True

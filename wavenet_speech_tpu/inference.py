@@ -130,6 +130,44 @@ class Basecaller:
         labels = np.asarray(jnp.argmax(logits, axis=-1))[None]
         return labels2strings(ctc_collapse(labels, blank=self.blank))[0], 0.0
 
+    def basecall_long_batch(self, signals, chunk_len: int = 16384,
+                            margin: Optional[int] = None,
+                            chunk_batch: int = 8,
+                            beam_chunk_frames: int = 4096,
+                            label_window: int = 2048
+                            ) -> Tuple[List[str], List[float]]:
+        """Serving path: basecall a BATCH of equal-length long reads —
+        per-read chunked forwards, then ONE batched streaming-beam decode
+        (vmapped chunk scans, decoding/streaming.StreamingBeamBatch).
+        signals: (B, L, C)."""
+        sigs = np.asarray(signals, np.float32)
+        logits = np.stack([
+            np.asarray(chunked_logits(self.model, self.params,
+                                      jnp.asarray(s), chunk_len, margin,
+                                      chunk_batch)) for s in sigs])
+        B, T, _ = logits.shape
+        if self.beam_width <= 0:
+            labels = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+            return labels2strings(ctc_collapse(labels, blank=self.blank)), \
+                [0.0] * B
+        from wavenet_speech_tpu.decoding.streaming import StreamingBeamBatch
+
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        sbb = StreamingBeamBatch(B, np.full((B,), T, np.int32),
+                                 beam_width=self.beam_width,
+                                 label_window=label_window,
+                                 blank=self.blank)
+        for s in range(0, T, beam_chunk_frames):
+            chunk = lp[:, s: s + beam_chunk_frames]
+            if chunk.shape[1] < beam_chunk_frames:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B, beam_chunk_frames - chunk.shape[1],
+                                      lp.shape[2]), np.float32)], axis=1)
+            sbb.feed(chunk)
+        out = sbb.finalize()
+        return (labels2strings([labels for labels, _, _ in out]),
+                [score for _, score, _ in out])
+
 
 def _default_margin(model) -> int:
     """Edge-contamination width of one model forward: frames closer than
