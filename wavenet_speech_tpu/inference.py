@@ -118,6 +118,19 @@ class Basecaller:
         logits = chunked_logits(self.model, self.params, jnp.asarray(
             np.asarray(signal, np.float32)), chunk_len, margin, chunk_batch)
         if self.beam_width > 0:
+            # short reads: one fused monolithic beam program (faster, and
+            # honors max_label_len as a TOTAL decode cap); long reads:
+            # stream with a bounded window (a monolithic (W, L_out) state
+            # is quadratic-in-length, inference.py module docstring)
+            if logits.shape[0] <= max(2 * beam_chunk_frames, 8192):
+                prefixes, plens, scores = ctc_beam_search_jax(
+                    logits[None], beam_width=self.beam_width,
+                    blank=self.blank,
+                    max_label_len=self.max_label_len or logits.shape[0])
+                p = np.asarray(prefixes)[0, 0]
+                n = int(np.asarray(plens)[0, 0])
+                return (labels2strings([p[:n]])[0],
+                        float(np.asarray(scores)[0, 0]))
             from wavenet_speech_tpu.decoding.streaming import (
                 streaming_beam_decode,
             )
