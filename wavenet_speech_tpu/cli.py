@@ -249,7 +249,8 @@ def evaluate(cfg) -> int:
     return 0
 
 
-def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
+def basecall(cfg, signals_path: str, out_path: Optional[str] = None,
+             long_reads: bool = False) -> int:
     """Basecall signals from an NPY/NPZ file and emit FASTA.
 
     Input file: 'signal' array — (B, L) raw float, (B, L) int quantized
@@ -304,7 +305,16 @@ def basecall(cfg, signals_path: str, out_path: Optional[str] = None) -> int:
                         beam_width=t.get("beam_width", 7),
                         logit_length_fn=_logit_length_fn(cfg, model,
                                                          model_type))
-    seqs, scores = caller(sig)
+    if long_reads or sig.shape[1] > 65536:
+        # production-length reads (10^5-10^6 samples): chunked forward +
+        # streaming bounded-window beam per read (inference.basecall_long)
+        seqs, scores = [], []
+        for b in range(sig.shape[0]):
+            s_b, sc_b = caller.basecall_long(sig[b])
+            seqs.append(s_b)
+            scores.append(sc_b)
+    else:
+        seqs, scores = caller(sig)
     lines = []
     for i, (s, sc) in enumerate(zip(seqs, scores)):
         lines.append(f">read_{i} score={sc:.3f}")
@@ -330,6 +340,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="basecall: NPY/NPZ file of signals")
     ap.add_argument("--out", default=None,
                     help="basecall: output FASTA path (default stdout)")
+    ap.add_argument("--long", action="store_true",
+                    help="basecall: force the long-read path (chunked "
+                         "forward + streaming beam); auto above 65536 "
+                         "samples")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
@@ -345,7 +359,7 @@ def main(argv: Optional[list] = None) -> int:
     if args.command == "basecall":
         if not args.signals:
             ap.error("basecall requires --signals")
-        return basecall(cfg, args.signals, args.out)
+        return basecall(cfg, args.signals, args.out, long_reads=args.long)
     return evaluate(cfg)
 
 
