@@ -246,13 +246,17 @@ class Decoder:
     """
 
     def __init__(self, decoder: str = "argmax", beam_width: int = 7,
-                 blank: int = 0, engine: str = "device"):
+                 blank: int = 0, engine: str = "device",
+                 prune: "int | None" = None):
         assert decoder in ("argmax", "beam")
         assert engine in ("device", "native", "python")
         self.decoder_type = decoder
         self.beam_width = beam_width
         self.blank = blank
         self.engine = engine
+        # per-frame top-K label pre-prune for large alphabets (ctcdecode's
+        # cutoff_top_n); device engine only, None = exact
+        self.prune = prune
 
     def decode(self, logits, lengths=None, return_times: bool = False):
         """-> (scores, strings[, times]): times (one int list per sequence,
@@ -274,7 +278,7 @@ class Decoder:
         if self.engine == "device":
             prefixes, plens, scores, times = ctc_beam_search_jax(
                 logits, lengths, beam_width=self.beam_width, blank=self.blank,
-                return_times=True)
+                return_times=True, prune=self.prune)
             prefixes, plens = np.asarray(prefixes), np.asarray(plens)
             results = [prefixes[b, 0, : plens[b, 0]]
                        for b in range(prefixes.shape[0])]
