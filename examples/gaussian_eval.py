@@ -188,23 +188,45 @@ def main(argv=None):
 
     meter = MovingAverageMeter(25)
     t0 = time.time()
+    skip_streak = 0
     for i in range(start, args.steps):
         _tick()
         batch = loader.fetch()
         state, metrics = step(state, batch_to_device(batch))
-        meter.add(float(metrics["ctc_loss"]))
+        l = float(metrics["ctc_loss"])
+        if np.isfinite(l):
+            meter.add(l)
+            skip_streak = 0
+        else:
+            # the train step SKIPS non-finite updates (trainer.py), so
+            # params stay finite; a long streak means the model itself is
+            # producing non-finite losses on every batch — abort for
+            # restart from the last checkpoint
+            skip_streak += 1
+            if skip_streak in (1, 10, 50) or skip_streak % 100 == 0:
+                print(f"[gaussian_eval] non-finite loss at step {i}; "
+                      f"update skipped (streak {skip_streak})",
+                      file=sys.stderr, flush=True)
+            if skip_streak >= 200:
+                print("[gaussian_eval] 200 consecutive non-finite losses; "
+                      "aborting for restart from the last checkpoint",
+                      file=sys.stderr, flush=True)
+                sys.exit(3)
         if i % 50 == 0:
             print(f"step {i}: per-logit CTC {meter.value:.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if args.ckpt_dir and (i + 1) % args.save_every == 0:
             # never checkpoint a diverged state: a NaN save plus rotation
-            # (max_to_keep) destroys the recoverable history
-            if not np.isfinite(meter.value):
-                print(f"[gaussian_eval] non-finite loss at step {i + 1}; "
-                      "NOT saving; aborting for restart from the last "
-                      "finite checkpoint", file=sys.stderr, flush=True)
-                sys.exit(3)
-            save_checkpoint(args.ckpt_dir, state, step=i + 1, max_to_keep=4)
+            # (max_to_keep) destroys the recoverable history (with the
+            # skip-guard the meter stays finite and params are protected;
+            # this remains as a backstop)
+            if not np.isfinite(meter.value) or skip_streak > 0:
+                print(f"[gaussian_eval] skipping checkpoint at step {i + 1} "
+                      "(non-finite loss in window)", file=sys.stderr,
+                      flush=True)
+            else:
+                save_checkpoint(args.ckpt_dir, state, step=i + 1,
+                                max_to_keep=4)
     if args.ckpt_dir and args.steps > start:
         save_checkpoint(args.ckpt_dir, state, step=args.steps, max_to_keep=2)
     _tick()

@@ -146,10 +146,26 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
     def step_fn(state: TrainState, batch):
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Non-finite step SKIP: a bf16 loss spike can overflow the loss or
+        # gradients in ONE step; update-norm clipping cannot save it
+        # (nan * scale = nan) and a single poisoned step NaNs the params
+        # forever (observed twice in the anneal leg of the quality run,
+        # RESULTS.md). Skip the whole update — params AND optimizer state
+        # carry through unchanged — and report it. Structure-preserving, so
+        # checkpoints remain compatible.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics, total_loss=total,
-                       grad_norm=optax.global_norm(grads))
+        metrics = dict(metrics, total_loss=total, grad_norm=gnorm,
+                       skipped_nonfinite=(~ok).astype(jnp.int32))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
