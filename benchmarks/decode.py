@@ -37,6 +37,9 @@ def main(argv=None):
                          "speech-alphabet claim, VERDICT r2 #7)")
     ap.add_argument("--prune-labels", type=int, default=None,
                     help="per-frame top-K label pre-prune (cutoff_top_n)")
+    ap.add_argument("--beam-impl", default=None, choices=["xla", "pallas"],
+                    help="beam engine for device/beam-only: xla scan or "
+                         "the fused Pallas kernel (ops/pallas/beam.py)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--engines", nargs="+",
                     default=["device", "native", "greedy"],
@@ -82,7 +85,8 @@ def main(argv=None):
         logits = fwd(p, x)
         return ctc_beam_search_jax(logits, beam_width=args.beam_width,
                                    max_label_len=args.max_label_len,
-                                   prune=args.prune_labels)
+                                   prune=args.prune_labels,
+                                   impl=args.beam_impl)
 
     def greedy_pipeline(p, x):
         return argmax_decode(fwd(p, x))
@@ -115,7 +119,7 @@ def main(argv=None):
             f = jax.jit(partial(
                 ctc_beam_search_jax, beam_width=args.beam_width,
                 max_label_len=args.max_label_len, log_input=True,
-                prune=args.prune_labels))
+                prune=args.prune_labels, impl=args.beam_impl))
 
             def run():
                 out = f(lp_only)
@@ -153,6 +157,7 @@ def main(argv=None):
             "batch": args.batch_size, "L": args.signal_len,
             "beam_width": args.beam_width, "nfeats": nfeats,
             "labels": args.labels, "prune": args.prune_labels,
+            "beam_impl": args.beam_impl or "xla",
         }))
     return results
 

@@ -235,7 +235,8 @@ def _search_single(log_probs, length, *, beam_width: int, blank: int,
 def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
                         blank: int = 0, max_label_len: Optional[int] = None,
                         log_input: bool = False, return_times: bool = False,
-                        prune: Optional[int] = None
+                        prune: Optional[int] = None,
+                        impl: Optional[str] = None
                         ) -> Tuple[jnp.ndarray, ...]:
     """Batched on-device CTC prefix beam search.
 
@@ -247,6 +248,10 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
         ctcdecode's `times` output, eval notebook cells 19-22).
       prune: per-frame top-K label pre-prune for large alphabets
         (ctcdecode's cutoff_top_n); None = exact over all C labels.
+      impl: "xla" (lax.scan over vmapped frames — the default) or
+        "pallas" (one fused kernel per sequence, ops/pallas/beam.py —
+        interpret-verified, opt-in on hardware; WAVENET_BEAM_IMPL env
+        overrides the default).
     Returns:
       prefixes: (B, W, S) int32 label arrays (0-padded)
       plens:    (B, W) int32 decoded lengths
@@ -258,9 +263,22 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
     lp = logits if log_input else jax.nn.log_softmax(logits, axis=-1)
     lengths = jnp.full((B,), T, jnp.int32) if lengths is None else jnp.asarray(lengths)
     S = int(max_label_len) if max_label_len is not None else T
-    fn = partial(_search_single, beam_width=beam_width, blank=blank,
-                 max_label_len=S, prune=prune)
-    prefixes, plens, scores, times = jax.vmap(fn)(lp, lengths)
+    if impl is None:
+        import os
+
+        impl = os.environ.get("WAVENET_BEAM_IMPL", "xla")
+    if impl == "pallas":
+        from wavenet_speech_tpu.ops.pallas.beam import beam_search_pallas
+
+        pref, plen, pb, pnb, times = beam_search_pallas(
+            lp, lengths, beam_width=beam_width, blank=blank,
+            max_label_len=S, prune=prune)
+        state = (pref, plen, pb, pnb, times)
+        prefixes, plens, scores, times = jax.vmap(beam_finalize)(state)
+    else:
+        fn = partial(_search_single, beam_width=beam_width, blank=blank,
+                     max_label_len=S, prune=prune)
+        prefixes, plens, scores, times = jax.vmap(fn)(lp, lengths)
     if return_times:
         return prefixes, plens, scores, times
     return prefixes, plens, scores

@@ -1,0 +1,309 @@
+"""Fused CTC prefix beam search as a Pallas TPU kernel.
+
+Why: the XLA beam scan (decoding/ctc_beam_device.py) runs each frame as a
+chain of small fused kernels inside lax.scan — ~12 us/frame of dispatch
+latency at W=7/C=5 (measured round 2: the beam scan alone is ~23 ms of a
+32x2048-frame batch), and the per-frame work grows with the W^2 merge and
+the (W*C, S) candidate materialization at speech-scale alphabets. Inside
+one Pallas kernel the whole decode runs as a VMEM-resident fori loop:
+state (prefixes, plens, pb, pnb, times) lives in scratch across the
+sequential grid, log-probs stream in chunkwise, and — unlike the XLA
+formulation — extend candidates are never materialized: the top-W
+selection picks (parent, label) pairs and builds each surviving beam row
+by copying the parent prefix and inserting ONE label.
+
+Semantics match decoding/ctc_beam_device._beam_step exactly (same merge
+invariant, same times bookkeeping, same NEG_INF convention); equality is
+tested against the XLA path in interpret mode (tests/test_pallas_beam.py)
+— the kernel is CPU-testable end-to-end.
+
+Status: interpret-verified; opt-in on hardware via
+ctc_beam_search_jax(..., impl="pallas") / WAVENET_BEAM_IMPL=pallas until
+the TPU compile is proven (kernel authored during a relay outage).
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas import can fail on unsupported backends
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+NEG = -1e30
+WPAD = 8  # beam rows padded to the f32 sublane tile
+
+
+def _iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
+def _row_iota(rows, n):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+
+
+def _beam_kernel(lp_ref, len_ref, pref_out, plen_out, pb_out, pnb_out,
+                 times_out, pref_s, times_s, plen_s, pb_s, pnb_s, *,
+                 ct: int, nc: int, W: int, C: int, S: int, blank: int,
+                 K: int):
+    """Grid (B, nc); per-(batch, chunk) cell advances the beam over ct
+    frames. K = number of candidate label slots considered per frame
+    (C, or a top-K prune for big alphabets)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():  # fresh sequence: slot 0 = empty prefix with probability 1
+        pref_s[...] = jnp.zeros((WPAD, S), jnp.int32)
+        times_s[...] = jnp.zeros((WPAD, S), jnp.int32)
+        plen_s[...] = jnp.zeros((WPAD, 1), jnp.int32)
+        pb = jnp.full((WPAD, 1), NEG, jnp.float32)
+        pb_s[...] = pb.at[0, 0].set(0.0)
+        pnb_s[...] = jnp.full((WPAD, 1), NEG, jnp.float32)
+
+    length = len_ref[0, 0]
+    iota_s = _row_iota(WPAD, S)
+
+    def frame(r, _):
+        t = i * ct + r
+        lp = lp_ref[0, r][None, :]                       # (1, C)
+        pref = pref_s[...]
+        times = times_s[...]
+        plen = plen_s[...]
+        pb = pb_s[...]
+        pnb = pnb_s[...]
+
+        total = jnp.logaddexp(pb, pnb)                   # (WPAD, 1)
+        alive = total > NEG / 2
+
+        pos_last = iota_s == (plen - 1)                  # (WPAD, S)
+        last = jnp.sum(jnp.where(pos_last, pref, 0), axis=1, keepdims=True)
+        last = jnp.where(plen > 0, last, -1)             # (WPAD, 1)
+        onehot_last = (_row_iota(WPAD, C) == last).astype(jnp.float32)
+        lp_last = jnp.sum(onehot_last * lp, axis=1, keepdims=True)
+        lp_last = jnp.where(last >= 0, lp_last, NEG)
+
+        # --- candidate label slots (optionally the frame's top-K) ---
+        if K < C:
+            lp_k, labels_k = jax.lax.top_k(lp[0], K)     # (K,)
+            lp_k = lp_k[None, :]                         # (1, K)
+            labels_k = labels_k[None, :]                 # (1, K)
+        else:
+            lp_k, labels_k = lp, _iota(C)
+
+        # --- stay candidates ---
+        lp_blank = jnp.sum(
+            jnp.where(_iota(C) == blank, lp, 0.0), axis=1, keepdims=True)
+        stay_pb = total + lp_blank                       # (WPAD, 1)
+        stay_pnb = pnb + lp_last
+        stay_times = times
+
+        # --- extend candidate scores (WPAD, K); rows/labels masked ---
+        ext_src = jnp.where(labels_k == last, pb, total)
+        ext_pnb = ext_src + lp_k
+        can = (labels_k != blank) & (plen < S)
+        ext_pnb = jnp.where(can, ext_pnb, NEG)
+
+        # --- merge: stay(w) absorbs extend(v, last_w); per-target loop
+        # (W static and small) over live targets with non-empty prefixes ---
+        care = iota_s < plen                             # (WPAD, S)
+        for w in range(W):
+            pref_w = pref[w:w + 1]                       # (1, S)
+            plen_w = plen[w, 0]
+            last_w = last[w, 0]
+            eq_v = jnp.all((pref == pref_w) | ~care, axis=1,
+                           keepdims=True)                # (WPAD, 1)
+            is_par = (eq_v & (plen_w == plen + 1)
+                      & alive[w:w + 1] & (last_w >= 0))  # (WPAD, 1)
+            # at most one label slot equals last_w -> masked max selects it
+            at_cw = jnp.max(jnp.where(labels_k == last_w, ext_pnb, NEG),
+                            axis=1, keepdims=True)       # (WPAD, 1)
+            contrib = jnp.where(is_par, at_cw, NEG)      # (WPAD, 1)
+            m = jnp.max(contrib)
+            mass = m + jnp.log(jnp.sum(jnp.exp(contrib - m)))
+            mass = jnp.where(m > NEG / 2, mass, NEG)
+            vstar = jnp.argmax(contrib[:, 0])
+            # adopt the dominant parent's times (+ t at the last position)
+            # when the merged-in mass beats the prior stay mass
+            rows_iota = jax.lax.broadcasted_iota(jnp.int32, (WPAD, S), 0)
+            par_row = jnp.sum(
+                jnp.where(rows_iota == vstar, times, 0),
+                axis=0, keepdims=True)                   # (1, S)
+            par_row = jnp.where(pos_last[w:w + 1], t, par_row)
+            better = mass > jnp.logaddexp(stay_pb[w, 0], stay_pnb[w, 0])
+            row_sel = jax.lax.broadcasted_iota(jnp.int32, (WPAD, S), 0) == w
+            stay_times = jnp.where(row_sel & better, par_row, stay_times)
+            new_pnb_w = jnp.logaddexp(stay_pnb[w, 0], mass)
+            stay_pnb = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0) == w,
+                new_pnb_w, stay_pnb)
+            # consumed extends leave the pool
+            ext_pnb = jnp.where(is_par & (labels_k == last_w), NEG, ext_pnb)
+
+        # --- top-W selection over (stay | extend) without materializing
+        # candidate prefixes: pick (kind, parent, label) then build rows ---
+        stay_tot = jnp.logaddexp(stay_pb, stay_pnb)      # (WPAD, 1)
+        npref = jnp.zeros((WPAD, S), jnp.int32)
+        ntimes = jnp.zeros((WPAD, S), jnp.int32)
+        nplen = jnp.zeros((WPAD, 1), jnp.int32)
+        npb = jnp.full((WPAD, 1), NEG, jnp.float32)
+        npnb = jnp.full((WPAD, 1), NEG, jnp.float32)
+        stay_live = stay_tot
+        ext_live = ext_pnb
+        pos_ins = iota_s == plen                         # (WPAD, S) insert pos
+        for k in range(W):
+            best_stay = jnp.max(stay_live)
+            best_ext = jnp.max(ext_live)
+            # tie rule matches XLA top_k over the [stay | extend] layout:
+            # stay candidates come first, so ties prefer stay
+            take_stay = best_stay >= best_ext
+            # stay candidate: parent row v
+            v_stay = jnp.argmax(stay_live[:, 0])
+            # extend candidate: two-stage argmax (rows then lanes — no
+            # cross-tile reshape)
+            row_max = jnp.max(ext_live, axis=1, keepdims=True)  # (WPAD, 1)
+            v_ext = jnp.argmax(row_max[:, 0])
+            row_of_v = jnp.max(
+                jnp.where(jax.lax.broadcasted_iota(
+                    jnp.int32, (WPAD, K), 0) == v_ext, ext_live, NEG),
+                axis=0, keepdims=True)                   # (1, K)
+            c_ext_slot = jnp.argmax(row_of_v[0])
+            label_ext = jnp.sum(jnp.where(_iota(K) == c_ext_slot,
+                                          labels_k, 0))
+            v = jnp.where(take_stay, v_stay, v_ext)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (WPAD, S), 0)
+            sel_v = rows == v                            # (WPAD, S)
+            parent_pref = jnp.sum(jnp.where(sel_v, pref, 0), axis=0,
+                                  keepdims=True)         # (1, S)
+            parent_times_stay = jnp.sum(
+                jnp.where(sel_v, stay_times, 0), axis=0, keepdims=True)
+            parent_times_ext = jnp.sum(
+                jnp.where(sel_v, times, 0), axis=0, keepdims=True)
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
+            parent_plen = jnp.sum(jnp.where(col_iota == v, plen, 0))
+            parent_ins = jnp.sum(jnp.where(sel_v, pos_ins, False), axis=0,
+                                 keepdims=True)          # (1, S)
+            new_pref_row = jnp.where(
+                take_stay, parent_pref,
+                jnp.where(parent_ins, label_ext, parent_pref))
+            new_times_row = jnp.where(
+                take_stay, parent_times_stay,
+                jnp.where(parent_ins, t, parent_times_ext))
+            new_plen_k = jnp.where(take_stay, parent_plen,
+                                   jnp.minimum(parent_plen + 1, S))
+            # a DEAD pick (pools exhausted: best is NEG) must stay dead —
+            # reading row v's raw stay_pb/pnb would resurrect a candidate
+            # consumed in an earlier iteration
+            stay_alive_k = best_stay > NEG / 2
+            col = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
+            new_pb_k = jnp.where(
+                take_stay & stay_alive_k,
+                jnp.sum(jnp.where(col == v, stay_pb, 0.0)), NEG)
+            new_pnb_k = jnp.where(
+                take_stay,
+                jnp.where(stay_alive_k,
+                          jnp.sum(jnp.where(col == v, stay_pnb, 0.0)), NEG),
+                best_ext)
+            row_k = rows == k
+            npref = jnp.where(row_k, new_pref_row, npref)
+            ntimes = jnp.where(row_k, new_times_row, ntimes)
+            col_k = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0) == k
+            nplen = jnp.where(col_k, new_plen_k, nplen)
+            npb = jnp.where(col_k, new_pb_k, npb)
+            npnb = jnp.where(col_k, new_pnb_k, npnb)
+            # remove the taken candidate from its pool
+            stay_live = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0) == v)
+                & take_stay, NEG, stay_live)
+            ext_live = jnp.where(
+                ((jax.lax.broadcasted_iota(jnp.int32, (WPAD, K), 0) == v)
+                 & (_row_iota(WPAD, K) == c_ext_slot)) & ~take_stay,
+                NEG, ext_live)
+
+        # frames past the sequence length carry the state through
+        live = t < length
+        pref_s[...] = jnp.where(live, npref, pref)
+        times_s[...] = jnp.where(live, ntimes, times)
+        plen_s[...] = jnp.where(live, nplen, plen)
+        pb_s[...] = jnp.where(live, npb, pb)
+        pnb_s[...] = jnp.where(live, npnb, pnb)
+        return 0
+
+    jax.lax.fori_loop(0, ct, frame, 0)
+
+    @pl.when(i == nc - 1)
+    def _():
+        pref_out[0] = pref_s[...]
+        times_out[0] = times_s[...]
+        plen_out[0] = plen_s[...]
+        pb_out[0] = pb_s[...]
+        pnb_out[0] = pnb_s[...]
+
+
+def pallas_beam_available() -> bool:
+    return _PALLAS_OK and jax.default_backend() == "tpu"
+
+
+def beam_search_pallas(log_probs, lengths, *, beam_width: int = 7,
+                       blank: int = 0, max_label_len: int = 256,
+                       prune: int | None = None,
+                       interpret: bool | None = None):
+    """Batched prefix beam search over (B, T, C) log-probs as ONE Pallas
+    program. Returns the beam state (prefixes, plens, pb, pnb, times) with
+    shapes (B, W, S) / (B, W) — finalize with
+    decoding.ctc_beam_device.beam_finalize (vmapped).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert beam_width <= WPAD, f"beam_width > {WPAD} not supported yet"
+    B, T, C = log_probs.shape
+    S = int(max_label_len)
+    K = int(prune) if prune is not None and prune < C else C
+    ct = min(128, T)
+    Tp = int(np.ceil(T / ct)) * ct
+    lp = jnp.pad(log_probs.astype(jnp.float32),
+                 ((0, 0), (0, Tp - T), (0, 0)))
+    nc = Tp // ct
+    len2d = jnp.asarray(lengths, jnp.int32).reshape(B, 1)
+
+    pref, plen, pb, pnb, times = pl.pallas_call(
+        partial(_beam_kernel, ct=ct, nc=nc, W=beam_width, C=C, S=S,
+                blank=blank, K=K),
+        grid=(B, nc),
+        in_specs=[
+            pl.BlockSpec((1, ct, C), lambda b, i: (b, i, 0)),   # log-probs
+            pl.BlockSpec((1, 1), lambda b, i: (b, 0)),          # lengths
+        ],
+        out_specs=(
+            pl.BlockSpec((1, WPAD, S), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, WPAD, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, WPAD, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, WPAD, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, WPAD, S), lambda b, i: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, WPAD, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, WPAD, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, WPAD, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, WPAD, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, WPAD, S), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WPAD, S), jnp.int32),    # prefixes
+            pltpu.VMEM((WPAD, S), jnp.int32),    # times
+            pltpu.VMEM((WPAD, 1), jnp.int32),    # plens
+            pltpu.VMEM((WPAD, 1), jnp.float32),  # pb
+            pltpu.VMEM((WPAD, 1), jnp.float32),  # pnb
+        ],
+        interpret=interpret,
+    )(lp, len2d)
+    W = beam_width
+    return (pref[:, :W, :], plen[:, :W, 0], pb[:, :W, 0], pnb[:, :W, 0],
+            times[:, :W, :])
