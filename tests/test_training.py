@@ -141,3 +141,51 @@ def test_update_norm_clipping_bounds_updates():
     upd2, _ = tx2.update({"w": jnp.full((64,), 0.1)}, st2, params)
     n = float(optax.global_norm(upd2))
     assert 0 < n < 10.0
+
+
+def test_nonfinite_step_is_skipped():
+    """A poisoned batch (inf signal -> non-finite loss/grads) must leave
+    params AND optimizer state untouched (skip, not NaN-poison — the round-2
+    and round-3 anneal-leg divergences), and the next finite batch must
+    train normally."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavenet_speech_tpu.models import RawCTCNet
+    from wavenet_speech_tpu.training import (TrainState, build_optimizer,
+                                             make_ctc_train_step)
+
+    F = 8
+    net = RawCTCNet(num_features=F, feature_kwidth=3, num_labels=5,
+                    layers=((F, F, 2, 1),), out_dim=F, positions=False,
+                    softmax=False)
+    params = net.init(jax.random.PRNGKey(0))
+    tx = build_optimizer("adamax", 1e-3, max_update_norm=30.0)
+    state = TrainState.create(params, tx)
+    step = make_ctc_train_step(net, tx, donate=False)
+    rng = np.random.default_rng(0)
+    good = {
+        "signal": rng.standard_normal((2, 32, 1)).astype(np.float32),
+        "labels": rng.integers(1, 5, size=(2, 4)).astype(np.int32),
+        "label_lengths": np.full((2,), 4, np.int32),
+    }
+    bad = dict(good, signal=np.full((2, 32, 1), np.inf, np.float32))
+
+    state1, m1 = step(state, good)
+    assert int(m1["skipped_nonfinite"]) == 0
+    state2, m2 = step(state1, bad)
+    assert int(m2["skipped_nonfinite"]) == 1
+    assert not np.isfinite(float(m2["total_loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state1.opt_state),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues normally after the skip
+    state3, m3 = step(state2, good)
+    assert int(m3["skipped_nonfinite"]) == 0
+    assert np.isfinite(float(m3["total_loss"]))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                               jax.tree_util.tree_leaves(state3.params)))

@@ -93,15 +93,26 @@ def make_joint_train_step(base_model, ctc_model, tx,
     def step_fn(state: TrainState, batch):
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # non-finite step SKIP (see make_ctc_train_step): params and
+        # optimizer state carry through a poisoned step unchanged
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_opt_state, state.opt_state)
         params = optax.apply_updates(state.params, updates)
         # non-gradient state (BatchNorm running statistics): recomputed from
         # the PRE-update leaves so optimizer side effects (e.g. weight
         # decay) never touch them
         params = dict(params, base=base_model.update_state(
             state.params["base"], params["base"], batch["signal"]))
-        metrics = dict(metrics, total_loss=total,
-                       grad_norm=optax.global_norm(grads))
+        metrics = dict(metrics, total_loss=total, grad_norm=gnorm,
+                       skipped_nonfinite=(~ok).astype(jnp.int32))
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
