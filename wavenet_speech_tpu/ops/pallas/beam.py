@@ -23,7 +23,6 @@ the TPU compile is proven (kernel authored during a relay outage).
 """
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
