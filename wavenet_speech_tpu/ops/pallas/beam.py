@@ -56,6 +56,7 @@ def _beam_kernel(lp_ref, len_ref, pref_out, plen_out, pb_out, pnb_out,
     """Grid (B, nc); per-(batch, chunk) cell advances the beam over ct
     frames. K = number of candidate label slots considered per frame
     (C, or a top-K prune for big alphabets)."""
+    b = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -63,11 +64,14 @@ def _beam_kernel(lp_ref, len_ref, pref_out, plen_out, pb_out, pnb_out,
         pref_s[...] = jnp.zeros((WPAD, S), jnp.int32)
         times_s[...] = jnp.zeros((WPAD, S), jnp.int32)
         plen_s[...] = jnp.zeros((WPAD, 1), jnp.int32)
-        pb = jnp.full((WPAD, 1), NEG, jnp.float32)
-        pb_s[...] = pb.at[0, 0].set(0.0)
+        # iota-select, not .at[].set (scatter has no Mosaic TPU lowering)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0) == 0
+        pb_s[...] = jnp.where(row0, 0.0, NEG).astype(jnp.float32)
         pnb_s[...] = jnp.full((WPAD, 1), NEG, jnp.float32)
 
-    length = len_ref[0, 0]
+    # lengths ride whole-array in SMEM (a (1, 1) VMEM block fails Mosaic's
+    # (8, 128)-divisible block rule); index by the batch grid coordinate
+    length = len_ref[b, 0]
     iota_s = _row_iota(WPAD, S)
 
     def frame(r, _):
@@ -187,7 +191,10 @@ def _beam_kernel(lp_ref, len_ref, pref_out, plen_out, pb_out, pnb_out,
                 jnp.where(sel_v, times, 0), axis=0, keepdims=True)
             col_iota = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
             parent_plen = jnp.sum(jnp.where(col_iota == v, plen, 0))
-            parent_ins = jnp.sum(jnp.where(sel_v, pos_ins, False), axis=0,
+            # bool any-reduction, not a bool sum: summing i1 yields i32 and
+            # its later use as a `where` condition needs an i32->i1
+            # truncation Mosaic can't lower
+            parent_ins = jnp.any(sel_v & pos_ins, axis=0,
                                  keepdims=True)          # (1, S)
             new_pref_row = jnp.where(
                 take_stay, parent_pref,
@@ -278,7 +285,7 @@ def beam_search_pallas(log_probs, lengths, *, beam_width: int = 7,
         grid=(B, nc),
         in_specs=[
             pl.BlockSpec((1, ct, C), lambda b, i: (b, i, 0)),   # log-probs
-            pl.BlockSpec((1, 1), lambda b, i: (b, 0)),          # lengths
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # lengths
         ],
         out_specs=(
             pl.BlockSpec((1, WPAD, S), lambda b, i: (b, 0, 0)),
