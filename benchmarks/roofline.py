@@ -156,6 +156,60 @@ def run_block(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
         sec, flops, hbm, bf16)
 
 
+def run_block_bwd(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
+                  dilation: int = 64, bf16: bool = True,
+                  pallas: bool = False, fused_bwd: bool = False):
+    """One causal gated residual block FORWARD+BACKWARD (jax.grad wrt x and
+    params) — locates the backward, the 2/3 of the train step the forward
+    sections can't see. Variants: XLA composite VJP (default), Pallas
+    forward + XLA VJP, Pallas forward + fused Pallas backward kernel
+    (WAVENET_FUSED_BWD; ops/pallas/residual_block._pallas_bwd)."""
+    import os
+
+    if fused_bwd:
+        os.environ["WAVENET_FUSED_BWD"] = "1"
+    else:
+        os.environ.pop("WAVENET_FUSED_BWD", None)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavenet_speech_tpu.models.blocks import ResidualBlock
+
+    blk = ResidualBlock(C, C, 2, dilation, causal=True, use_pallas=pallas)
+    params = blk.init(jax.random.PRNGKey(0))
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    params = jax.tree_util.tree_map(lambda a: a.astype(dt), params)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, L, C)), dt)
+
+    def loss(params, x):
+        r, s = blk.apply(params, x)
+        return (jnp.sum(r.astype(jnp.float32)) +
+                jnp.sum(s.astype(jnp.float32)))
+
+    def make(n):
+        @jax.jit
+        def many(params, x):
+            def body(c, _):
+                _, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    params, x + c)
+                return jnp.mean(gx).astype(x.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)
+            return c
+        return many
+
+    sec = _timed_slope(make, (params, x), iters)
+    flops = 3 * 2 * B * L * (2 * C * 2 * C + C * 2 * C + C * C)  # fwd+bwd
+    esz = 2 if bf16 else 4
+    # fwd traffic + grad-x/grad-w passes re-reading x and intermediates
+    hbm = B * L * C * esz * (1 + 2) * 3 + 3 * esz * (
+        2 * C * 2 * C + C * 2 * C + C * C)
+    tag = ("pallas+fusedbwd" if fused_bwd else
+           ("pallas+xlavjp" if pallas else "xla"))
+    return _report(f"block fwd+bwd C={C} d={dilation} {tag}",
+                   sec, flops, hbm, bf16)
+
+
 def run_ctc(iters: int = 20, B: int = 16, T: int = 567, S: int = 89,
             C: int = 5):
     """CTC loss (f32 alpha recursion) at the quality-run shape."""
@@ -225,7 +279,8 @@ def run_matmul(iters: int = 20, M: int = 8192, K: int = 2048, N: int = 2048,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["all", "feat", "block", "ctc", "matmul"])
+                    choices=["all", "feat", "block", "block_bwd", "ctc",
+                             "matmul"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
@@ -241,6 +296,10 @@ def main(argv=None):
         run_block(args.iters, bf16=bf16, pallas=True)
         run_block(args.iters, dilation=1, bf16=bf16, pallas=False)
         run_block(args.iters, dilation=1, bf16=bf16, pallas=True)
+    if args.section in ("all", "block_bwd"):
+        run_block_bwd(args.iters, bf16=bf16, pallas=False)
+        run_block_bwd(args.iters, bf16=bf16, pallas=True, fused_bwd=False)
+        run_block_bwd(args.iters, bf16=bf16, pallas=True, fused_bwd=True)
     if args.section in ("all", "ctc"):
         run_ctc(args.iters)
 
