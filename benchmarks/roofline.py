@@ -193,7 +193,12 @@ def run_block_bwd(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
             def body(c, _):
                 _, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
                     params, x + c)
-                return jnp.mean(gx).astype(x.dtype), None
+                # consume EVERY grad leaf or XLA dead-code-eliminates the
+                # whole param-gradient half of the backward
+                acc = jnp.mean(gx).astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(gp):
+                    acc = acc + jnp.mean(leaf).astype(jnp.float32)
+                return acc.astype(x.dtype), None
             c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)
             return c
         return many
