@@ -175,6 +175,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="batch size (8 = the cross-round series default; "
+                         "other values are ablation rows)")
     ap.add_argument("--pallas", action="store_true",
                     help="fused Pallas forward for the WaveNet blocks")
     ap.add_argument("--fused-bwd", action="store_true",
@@ -185,5 +188,5 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.fused_bwd:
         os.environ["WAVENET_FUSED_BWD"] = "1"
-    main(steps=a.steps, remat=not a.no_remat,
+    main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
          use_pallas=a.pallas or a.fused_bwd)
