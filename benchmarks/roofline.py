@@ -166,10 +166,9 @@ def run_block_bwd(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
     (WAVENET_FUSED_BWD; ops/pallas/residual_block._pallas_bwd)."""
     import os
 
+    prev_fused = os.environ.pop("WAVENET_FUSED_BWD", None)
     if fused_bwd:
         os.environ["WAVENET_FUSED_BWD"] = "1"
-    else:
-        os.environ.pop("WAVENET_FUSED_BWD", None)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -203,7 +202,14 @@ def run_block_bwd(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
             return c
         return many
 
-    sec = _timed_slope(make, (params, x), iters)
+    try:
+        sec = _timed_slope(make, (params, x), iters)
+    finally:
+        # don't leak the flag into later sections of the same process
+        if prev_fused is None:
+            os.environ.pop("WAVENET_FUSED_BWD", None)
+        else:
+            os.environ["WAVENET_FUSED_BWD"] = prev_fused
     flops = 3 * 2 * B * L * (2 * C * 2 * C + C * 2 * C + C * C)  # fwd+bwd
     esz = 2 if bf16 else 4
     # fwd traffic + grad-x/grad-w passes re-reading x and intermediates

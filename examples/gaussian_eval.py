@@ -163,8 +163,11 @@ def main(argv=None):
     # (train notebook cell 11) before RawCTCNet; done in f32 pre-cast
     from wavenet_speech_tpu.ops.norm import batch_standardize
 
+    # donate=True recycles the old state into the new one (state is used
+    # linearly; forensic dumps and checkpoints read the NEW state, which
+    # on a skipped step still holds the pre-step params)
     step = make_ctc_train_step(
-        model, tx, donate=False,
+        model, tx, donate=True,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         preprocess=batch_standardize)
 
@@ -186,6 +189,29 @@ def main(argv=None):
             for _ in range(start):
                 loader.fetch()
 
+    def _dump_forensics(batch, state, i, note, l, gn):
+        # capture the exact (batch, params) pair for offline bisection
+        # (tools/bisect_nonfinite.py; training/diagnostics.py). On a
+        # SKIPPED step post-step params == pre-step params (the guard
+        # carries them through), so the dump reproduces the overflow.
+        if not args.ckpt_dir:
+            return
+        try:
+            from wavenet_speech_tpu.training.diagnostics import dump_anomaly
+
+            p = dump_anomaly(
+                os.path.join(os.path.dirname(args.ckpt_dir.rstrip("/")),
+                             "anomalies"),
+                batch, state.params, i, note,
+                {"ctc_loss": l, "grad_norm": gn})
+            if p:
+                print(f"[gaussian_eval] {note} at step {i} "
+                      f"(loss {l:.3g}, gnorm {gn:.3g}); forensics -> {p}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:  # forensics must never kill the run
+            print(f"[gaussian_eval] forensic dump failed: {e!r}",
+                  file=sys.stderr, flush=True)
+
     meter = MovingAverageMeter(25)
     t0 = time.time()
     skip_streak = 0
@@ -195,6 +221,12 @@ def main(argv=None):
         state, metrics = step(state, batch_to_device(batch))
         l = float(metrics["ctc_loss"])
         if np.isfinite(l):
+            # a finite but huge spike is the PRECURSOR of the anneal-leg
+            # divergences (RESULTS.md): dump it too (params here are
+            # post-step — noted in meta via the note string)
+            if meter.values and l > max(25.0 * meter.value, 100.0):
+                _dump_forensics(batch, state, i, "spike",
+                                l, float(metrics["grad_norm"]))
             meter.add(l)
             skip_streak = 0
         else:
@@ -203,6 +235,9 @@ def main(argv=None):
             # producing non-finite losses on every batch — abort for
             # restart from the last checkpoint
             skip_streak += 1
+            if skip_streak == 1:
+                _dump_forensics(batch, state, i, "nonfinite",
+                                l, float(metrics["grad_norm"]))
             if skip_streak in (1, 10, 50) or skip_streak % 100 == 0:
                 print(f"[gaussian_eval] non-finite loss at step {i}; "
                       f"update skipped (streak {skip_streak})",

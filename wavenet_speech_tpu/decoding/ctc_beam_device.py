@@ -268,8 +268,19 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
 
         impl = os.environ.get("WAVENET_BEAM_IMPL", "xla")
     if impl == "pallas":
-        from wavenet_speech_tpu.ops.pallas.beam import beam_search_pallas
+        from wavenet_speech_tpu.ops.pallas.beam import (WPAD,
+                                                        beam_search_pallas)
 
+        if beam_width > WPAD:
+            # the kernel packs beam rows into one sublane tile (WPAD=8);
+            # wider beams fall back to the XLA scan instead of asserting
+            # (advisor r3: a W=16 pallas request used to fail outright)
+            import warnings
+
+            warnings.warn(f"pallas beam supports width <= {WPAD}; "
+                          f"falling back to XLA for beam_width={beam_width}")
+            impl = "xla"
+    if impl == "pallas":
         pref, plen, pb, pnb, times = beam_search_pallas(
             lp, lengths, beam_width=beam_width, blank=blank,
             max_label_len=S, prune=prune)
