@@ -81,7 +81,8 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
          steps: int = 10, warmup: int = 3, bf16: bool = True,
-         remat: bool = True, use_pallas: bool = False):
+         remat: bool = True, use_pallas: bool = False,
+         trace_dir: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -134,6 +135,23 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     float(metrics["total_loss"])  # full sync (value readback)
     _tick()
 
+    if trace_dir:
+        # device trace of a few steady-state steps (VERDICT r3 #1: name
+        # the un-overlapped phases instead of inferring them). May be
+        # unsupported through the remote-PJRT tunnel — never fatal.
+        try:
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(3):
+                state, metrics = step(state, batch)
+            float(metrics["total_loss"])
+            jax.profiler.stop_trace()
+            print(f"[bench] device trace written to {trace_dir}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[bench] trace capture failed: {e!r}",
+                  file=sys.stderr, flush=True)
+        _tick()
+
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch)
@@ -185,8 +203,11 @@ if __name__ == "__main__":
                          "implies --pallas). The compile is new Mosaic "
                          "territory — run backgrounded with a timeout, "
                          "never SIGKILL mid-compile (CLAUDE.md)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of 3 "
+                         "steady-state steps into DIR")
     a = ap.parse_args()
     if a.fused_bwd:
         os.environ["WAVENET_FUSED_BWD"] = "1"
     main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
-         use_pallas=a.pallas or a.fused_bwd)
+         use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace)

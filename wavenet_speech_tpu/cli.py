@@ -316,13 +316,12 @@ def basecall(cfg, signals_path: str, out_path: Optional[str] = None,
                         logit_length_fn=_logit_length_fn(cfg, model,
                                                          model_type))
     if long_reads or sig.shape[1] > 65536:
-        # production-length reads (10^5-10^6 samples): chunked forward +
-        # streaming bounded-window beam per read (inference.basecall_long)
-        seqs, scores = [], []
-        for b in range(sig.shape[0]):
-            s_b, sc_b = caller.basecall_long(sig[b])
-            seqs.append(s_b)
-            scores.append(sc_b)
+        # production-length reads (10^5-10^6 samples): chunked forwards +
+        # ONE batched streaming bounded-window beam over all reads
+        # (inference.basecall_long_batch — the vmapped chunk scans decode
+        # the whole batch concurrently; VERDICT r3 #4, parity vs the
+        # monolithic beam in tests/test_streaming_beam.py)
+        seqs, scores = caller.basecall_long_batch(sig)
     else:
         seqs, scores = caller(sig)
     lines = []
