@@ -155,9 +155,12 @@ def main(argv=None):
                 jax.tree_util.tree_leaves_with_path(g_ref),
                 jax.tree_util.tree_leaves_with_path(g_sp)):
             a, b = np.asarray(a), np.asarray(b)
-            denom = np.maximum(np.abs(a), 1e-6)
-            rel = float(np.max(np.abs(b - a) / denom))
-            worst = max(worst, rel)
+            # relative error over NON-TINY elements only (near-zero
+            # entries make max-relative-error meaningless)
+            big = np.abs(a) > 1e-3
+            if big.any():
+                rel = float(np.max(np.abs(b[big] - a[big]) / np.abs(a[big])))
+                worst = max(worst, rel)
             # atol 1e-4 vs grads O(10): f32 reduction-order noise through
             # a 100-block stack reaches ~1e-5 absolute on near-zero
             # elements (observed 1 element in 1M at abs diff 1.5e-5)
