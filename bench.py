@@ -82,7 +82,7 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
          steps: int = 10, warmup: int = 3, bf16: bool = True,
          remat: bool = True, use_pallas: bool = False,
-         trace_dir: str = None):
+         trace_dir: str = None, scan_cycles: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -99,12 +99,12 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     base = WaveNet(num_levels, 2,
                    tuple((num_levels, num_levels, 2, d) for d in wavenet_dils),
                    num_levels, softmax=False, remat=remat,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, scan_cycles=scan_cycles)
     clf = WaveNetClassifier(num_levels, 5,
                             tuple((num_levels, num_levels, 2, d)
                                   for d in classifier_dils),
                             256, pool_kernel_size=4, softmax=False,
-                            remat=remat)
+                            remat=remat, scan_cycles=scan_cycles)
 
     key = jax.random.PRNGKey(0)
     params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
@@ -172,7 +172,8 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     print(json.dumps({
         "metric": "audio-samples/sec/chip (joint WaveNet-CTC train step, "
                   f"30+18 blocks, 256ch, L={signal_len}, B={batch_size}"
-                  + (", pallas" if use_pallas else "") + ")",
+                  + (", pallas" if use_pallas else "")
+                  + ("" if scan_cycles else ", unrolled") + ")",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
@@ -203,6 +204,10 @@ if __name__ == "__main__":
                          "implies --pallas). The compile is new Mosaic "
                          "territory — run backgrounded with a timeout, "
                          "never SIGKILL mid-compile (CLAUDE.md)")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="unroll the dilation cycles instead of lax.scan "
+                         "(trace-attribution experiment: no scan-carry "
+                         "copies / stacked-param slicing)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of 3 "
                          "steady-state steps into DIR")
@@ -210,4 +215,5 @@ if __name__ == "__main__":
     if a.fused_bwd:
         os.environ["WAVENET_FUSED_BWD"] = "1"
     main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
-         use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace)
+         use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace,
+         scan_cycles=not a.no_scan)

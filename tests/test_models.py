@@ -86,3 +86,49 @@ def test_wavenet_grad_flows():
     flat, _ = jax.tree_util.tree_flatten(g)
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
     assert any(float(jnp.abs(t).sum()) > 0 for t in flat)
+
+
+def test_wavenet_scan_cycles_flag_value_identical():
+    """scan_cycles=False (unrolled cycles, the bench --no-scan experiment)
+    must be value-identical to the scan default given re-stacked params."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavenet_speech_tpu.models import WaveNet, WaveNetClassifier
+    from wavenet_speech_tpu.models.stack import detect_cycle
+
+    C = 8
+    layers = tuple((C, C, 2, d) for d in (1, 2)) * 3
+    wn = WaveNet(C, 2, layers, C, softmax=False)
+    wn_u = dataclasses.replace(wn, scan_cycles=False)
+    p = wn.init(jax.random.PRNGKey(0))
+    # re-layout cycle-stacked params into unrolled blocks/<i>
+    c = detect_cycle(layers)
+    blocks = {}
+    for r in range(len(layers) // c):
+        for j in range(c):
+            blocks[str(r * c + j)] = jax.tree_util.tree_map(
+                lambda a: a[r], p["stack"]["cycle"][f"b{j}"])
+    p_u = dict(p, stack={"blocks": blocks})
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, C)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(wn.apply(p, x)),
+                               np.asarray(wn_u.apply(p_u, x)),
+                               rtol=1e-6, atol=1e-6)
+
+    clf = WaveNetClassifier(C, 5, layers, C, pool_kernel_size=2,
+                            softmax=False)
+    clf_u = dataclasses.replace(clf, scan_cycles=False)
+    pc = clf.init(jax.random.PRNGKey(2))
+    blocks = {}
+    for r in range(len(layers) // c):
+        for j in range(c):
+            blocks[str(r * c + j)] = jax.tree_util.tree_map(
+                lambda a: a[r], pc["stack"]["cycle"][f"b{j}"])
+    pc_u = dict(pc, stack={"blocks": blocks})
+    np.testing.assert_allclose(np.asarray(clf.apply(pc, x)),
+                               np.asarray(clf_u.apply(pc_u, x)),
+                               rtol=1e-6, atol=1e-6)

@@ -111,3 +111,35 @@ def test_duration_filters(tmp_path):
     arr = fit_from_tsv(str(tsv), str(tmp_path / "d.npy"))
     # nothing admissible -> everything stays at the prior
     np.testing.assert_allclose(arr[:, 0], DEFAULT_SHAPE, rtol=1e-5)
+
+
+def test_make_synthetic_reads_feeds_queue_loader(tmp_path):
+    """tools/make_synthetic_reads.py writes the exact reference HDF5 layout
+    (utils/worker_fns.py:13-64): the QueueLoader must train-batch from it
+    with correct event->signal/label alignment."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import make_synthetic_reads
+
+    from wavenet_speech_tpu.data.hdf5 import QueueLoader
+
+    path = str(tmp_path / "reads.hdf5")
+    make_synthetic_reads.main([path, "--reads", "3", "--events", "500"])
+    ld = QueueLoader(path, num_workers=1, batch_size=4,
+                     sample_lengths=(20, 30), num_levels=256, seed=1,
+                     max_iters=50, queue_size=4, pad_to=360,
+                     labels_pad_to=40)
+    for split in ("train", "valid"):
+        b = ld.dequeue(from_queue=split, timeout=10.0)
+        assert b.signal.shape == (4, 360, 256)
+        assert b.labels.shape[0] == 4 and b.labels.shape[1] == 40
+        # labels = event span + 4 (5-mer adjustment)
+        assert (b.label_lengths >= 24).all() and (b.label_lengths <= 34).all()
+        # one-hot levels
+        assert b.signal.sum(axis=-1).max() == 1.0
+        # dwell 4..11 per event: signal lengths in [20*4, 30*11]
+        assert (b.signal_lengths >= 80).all() and (b.signal_lengths <= 330).all()
+    ld.close()

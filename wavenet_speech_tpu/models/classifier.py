@@ -41,6 +41,7 @@ class WaveNetClassifier(Module):
     input_dilation: int = 1
     softmax: bool = True
     remat: bool = False
+    scan_cycles: bool = True  # see models/wavenet.py
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -52,7 +53,9 @@ class WaveNetClassifier(Module):
 
     def _stack(self) -> SkipSumStack:
         return SkipSumStack(self.layers, self.out_dim, causal=False,
-                            remat=self.remat)
+                            remat=self.remat,
+                            min_scan_repeats=(2 if self.scan_cycles
+                                              else 10 ** 9))
 
     def init(self, key) -> Params:
         kib, kibn, ks, k1, k2 = rngs(key, 5)

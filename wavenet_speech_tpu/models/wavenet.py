@@ -35,6 +35,12 @@ class WaveNet(Module):
     softmax: bool = True
     remat: bool = False
     use_pallas: bool = False
+    # False unrolls the dilation cycles instead of lax.scan-ning them:
+    # bigger HLO + slower compile, but XLA schedules across all blocks
+    # (no scan-carry copies / stacked-param slicing — see the round-4
+    # trace attribution in RESULTS.md). Param layout differs (blocks/N
+    # vs cycle-stacked), so flip only on fresh params.
+    scan_cycles: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(tuple(l) for l in self.layers))
@@ -51,7 +57,9 @@ class WaveNet(Module):
 
     def _stack(self) -> SkipSumStack:
         return SkipSumStack(self.layers, self.out_dim, causal=True,
-                            remat=self.remat, use_pallas=self.use_pallas)
+                            remat=self.remat, use_pallas=self.use_pallas,
+                            min_scan_repeats=(2 if self.scan_cycles
+                                              else 10 ** 9))
 
     def _entry(self) -> CausalConv1d:
         return CausalConv1d(self.in_dim, self.layers[0][0], self.entry_kwidth)
