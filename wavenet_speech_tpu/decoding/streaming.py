@@ -30,6 +30,7 @@ Replaces: ctcdecode.CTCBeamDecoder's role in the reference eval notebooks
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -43,6 +44,25 @@ from wavenet_speech_tpu.decoding.ctc_beam_device import (
     beam_init,
     beam_scan,
 )
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_scan(blank: int):
+    """Jitted beam_scan, cached per blank id: a fresh jax.jit per
+    StreamingBeam instance (= per READ in basecall_long) defeated jit's
+    function-identity cache and recompiled the scan for every read."""
+    return jax.jit(partial(beam_scan, blank=blank))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_scan_batch(blank: int):
+    return jax.jit(jax.vmap(partial(beam_scan, blank=blank),
+                            in_axes=(0, 0, None, 0)))
+
+
+@functools.lru_cache(maxsize=1)
+def _jit_finalize_batch():
+    return jax.jit(jax.vmap(beam_finalize))
 
 
 class StreamingBeam:
@@ -60,7 +80,7 @@ class StreamingBeam:
         self.committed_times: list[int] = []
         self.frames_fed = 0
         self.saturated_chunks = 0
-        self._scan = jax.jit(partial(beam_scan, blank=self.blank))
+        self._scan = _jit_scan(self.blank)
 
     def feed(self, log_probs: np.ndarray, valid: Optional[int] = None) -> None:
         """Advance over one chunk. log_probs: (T_c, C) log-softmax frames
@@ -156,8 +176,7 @@ class StreamingBeamBatch:
         self.committed_times = [[] for _ in range(self.batch)]
         self.frames_fed = 0
         self.saturated_chunks = 0
-        self._scan = jax.jit(jax.vmap(
-            partial(beam_scan, blank=self.blank), in_axes=(0, 0, None, 0)))
+        self._scan = _jit_scan_batch(self.blank)
 
     def feed(self, log_probs: np.ndarray) -> None:
         """log_probs: (B, T_c, C) log-softmax chunk (same grid for all)."""
@@ -199,7 +218,7 @@ class StreamingBeamBatch:
 
     def finalize(self):
         """List of (labels, score, times) per sequence, best hypothesis."""
-        fin = jax.jit(jax.vmap(beam_finalize))(
+        fin = _jit_finalize_batch()(
             jax.tree_util.tree_map(jnp.asarray, self.state))
         prefixes, plens, scores, times = jax.tree_util.tree_map(
             np.asarray, fin)

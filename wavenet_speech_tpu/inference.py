@@ -11,6 +11,7 @@ string rendering. One compiled program per (batch, length) bucket.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -197,6 +198,18 @@ def _default_margin(model) -> int:
     return m
 
 
+@functools.lru_cache(maxsize=32)
+def _chunk_fwd(model):
+    """Jitted chunk forward, cached per MODEL object.
+
+    A fresh `jax.jit(lambda ...)` per chunked_logits call defeated jit's
+    cache (keyed on function identity): every long read RECOMPILED the
+    forward, and the round-3 long-read bench's 4.45 s/read greedy floor
+    was ~95% compile time. Models are frozen dataclasses (hashable), so
+    one wrapper per model is compiled once and reused for every read."""
+    return jax.jit(lambda p, x: model.apply(p, x))
+
+
 def chunked_logits(model, params, signal, chunk_len: int,
                    margin: Optional[int] = None,
                    chunk_batch: int = 8) -> jnp.ndarray:
@@ -234,7 +247,7 @@ def chunked_logits(model, params, signal, chunk_len: int,
         starts.append(L - chunk_len)
     starts[-1] = min(starts[-1], L - chunk_len)
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = _chunk_fwd(model)
     chunks = np.stack([np.asarray(signal[s: s + chunk_len]) for s in starts])
     outs = []
     pad_n = (-len(chunks)) % chunk_batch
