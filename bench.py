@@ -173,7 +173,9 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
         "metric": "audio-samples/sec/chip (joint WaveNet-CTC train step, "
                   f"30+18 blocks, 256ch, L={signal_len}, B={batch_size}"
                   + (", pallas" if use_pallas else "")
-                  + ("" if scan_cycles else ", unrolled") + ")",
+                  + ("" if scan_cycles else ", unrolled")
+                  + (", conv=matmul" if os.environ.get("WAVENET_CONV_IMPL")
+                     == "matmul" else "") + ")",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
@@ -204,6 +206,9 @@ if __name__ == "__main__":
                          "implies --pallas). The compile is new Mosaic "
                          "territory — run backgrounded with a timeout, "
                          "never SIGKILL mid-compile (CLAUDE.md)")
+    ap.add_argument("--conv-matmul", action="store_true",
+                    help="lower dilated convs as K shifted einsums "
+                         "(WAVENET_CONV_IMPL=matmul; see ops/conv.py)")
     ap.add_argument("--no-scan", action="store_true",
                     help="unroll the dilation cycles instead of lax.scan "
                          "(trace-attribution experiment: no scan-carry "
@@ -214,6 +219,8 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.fused_bwd:
         os.environ["WAVENET_FUSED_BWD"] = "1"
+    if a.conv_matmul:
+        os.environ["WAVENET_CONV_IMPL"] = "matmul"
     main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
          use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace,
          scan_cycles=not a.no_scan)

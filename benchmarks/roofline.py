@@ -221,6 +221,77 @@ def run_block_bwd(iters: int = 20, B: int = 8, L: int = 4505, C: int = 256,
                    sec, flops, hbm, bf16)
 
 
+def run_block_bwd_matmul(iters: int = 20, B: int = 8, L: int = 4505,
+                         C: int = 256, dilation: int = 64,
+                         bf16: bool = True):
+    """The SAME gated residual block fwd+bwd as run_block_bwd, but with
+    the k=2 dilated conv expressed as two shifted EINSUMS instead of
+    lax.conv_general_dilated — tests whether XLA's conv lowering (the
+    round-4 trace shows backward convs at 90-120 TF/s vs 197 peak) leaves
+    matmul throughput on the table for this degenerate-K shape. Math is
+    identical (asserted against ResidualBlock.apply at setup)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavenet_speech_tpu.models.blocks import ResidualBlock
+    from wavenet_speech_tpu.ops.activations import gated_activation
+
+    blk = ResidualBlock(C, C, 2, dilation, causal=True)
+    params0 = blk.init(jax.random.PRNGKey(0))
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    params = jax.tree_util.tree_map(lambda a: a.astype(dt), params0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, L, C)), dt)
+    d = dilation
+
+    def apply_matmul(p, x):
+        gw, gb = p["gate"]["w"], p["gate"]["b"]        # (2, C, 2C), (2C,)
+        xp = jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :x.shape[1]]
+        g = (jnp.einsum("blc,cd->bld", xp, gw[0])
+             + jnp.einsum("blc,cd->bld", x, gw[1]) + gb)
+        act = gated_activation(g[..., :C], g[..., C:])
+        ow, ob = p["out1x1"]["w"][0], p["out1x1"]["b"]  # (C, 2C)
+        o = jnp.einsum("blc,cd->bld", act, ow) + ob
+        rp = p["residual_proj"]
+        return o[..., :C] + (x @ rp["w"] + rp["b"]), o[..., C:]
+
+    # value identity vs the production block (f32, small slice)
+    r_ref, s_ref = blk.apply(params0, np.asarray(x[:1, :256], np.float32))
+    r_mm, s_mm = apply_matmul(params0, jnp.asarray(
+        np.asarray(x[:1, :256], np.float32)))
+    np.testing.assert_allclose(np.asarray(r_mm), np.asarray(r_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_mm), np.asarray(s_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(params, x):
+        r, s = apply_matmul(params, x)
+        return (jnp.sum(r.astype(jnp.float32))
+                + jnp.sum(s.astype(jnp.float32)))
+
+    def make(n):
+        @jax.jit
+        def many(params, x):
+            def body(c, _):
+                _, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    params, x + c)
+                acc = jnp.mean(gx).astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(gp):
+                    acc = acc + jnp.mean(leaf).astype(jnp.float32)
+                return acc.astype(x.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=n)
+            return c
+        return many
+
+    sec = _timed_slope(make, (params, x), iters)
+    flops = 3 * 2 * B * L * (2 * C * 2 * C + C * 2 * C + C * C)
+    esz = 2 if bf16 else 4
+    hbm = B * L * C * esz * (1 + 2) * 3 + 3 * esz * (
+        2 * C * 2 * C + C * 2 * C + C * C)
+    return _report(f"block fwd+bwd C={C} d={dilation} matmul-form",
+                   sec, flops, hbm, bf16)
+
+
 def run_ctc(iters: int = 20, B: int = 16, T: int = 567, S: int = 89,
             C: int = 5):
     """CTC loss (f32 alpha recursion) at the quality-run shape."""
@@ -290,8 +361,8 @@ def run_matmul(iters: int = 20, M: int = 8192, K: int = 2048, N: int = 2048,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["all", "feat", "block", "block_bwd", "ctc",
-                             "matmul"])
+                    choices=["all", "feat", "block", "block_bwd",
+                             "block_bwd_matmul", "ctc", "matmul"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
@@ -311,6 +382,8 @@ def main(argv=None):
         run_block_bwd(args.iters, bf16=bf16, pallas=False)
         run_block_bwd(args.iters, bf16=bf16, pallas=True, fused_bwd=False)
         run_block_bwd(args.iters, bf16=bf16, pallas=True, fused_bwd=True)
+    if args.section in ("all", "block_bwd_matmul"):
+        run_block_bwd_matmul(args.iters, bf16=bf16)
     if args.section in ("all", "ctc"):
         run_ctc(args.iters)
 

@@ -100,3 +100,57 @@ def test_module_shapes():
         assert p["w"].shape == (3, 6, 12)
         y = mod.apply(p, jnp.ones((2, 50, 6)))
         assert y.shape == (2, 50, 12)
+
+
+def test_matmul_conv_impl_matches_xla_conv(monkeypatch):
+    """WAVENET_CONV_IMPL=matmul (K shifted einsums — the round-4 MXU
+    lowering, RESULTS.md) must equal lax.conv_general_dilated for every
+    padding/dilation combination the models use."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from wavenet_speech_tpu.ops.conv import _conv1d
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 29, 10)), jnp.float32)
+    cases = [(2, 8, 8, 0),   # causal gate conv
+             (3, 4, 6, 6),   # featurizer both-sides pad
+             (1, 1, 0, 0),   # 1x1
+             (2, 1, 1, 0),   # entry conv
+             (3, 2, 3, 3)]   # noncausal autopad k=3
+    for (k, d, pl, pr) in cases:
+        w = jnp.asarray(rng.standard_normal((k, 10, 5)), jnp.float32)
+        ref = _conv1d(x, w, dilation=d, pad_left=pl, pad_right=pr)
+        monkeypatch.setenv("WAVENET_CONV_IMPL", "matmul")
+        got = _conv1d(x, w, dilation=d, pad_left=pl, pad_right=pr)
+        monkeypatch.delenv("WAVENET_CONV_IMPL")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_conv_impl_block_grads_match(monkeypatch):
+    """Gradient parity of the matmul lowering through a full gated block."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from wavenet_speech_tpu.models.blocks import ResidualBlock
+
+    blk = ResidualBlock(6, 6, 2, 4, causal=True)
+    params = blk.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 24, 6)),
+                    jnp.float32)
+
+    def loss(p, x):
+        r, s = blk.apply(p, x)
+        return jnp.sum(r) + 2.0 * jnp.sum(s)
+
+    ref = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("WAVENET_CONV_IMPL", "matmul")
+    got = jax.grad(loss, argnums=(0, 1))(params, x)
+    monkeypatch.delenv("WAVENET_CONV_IMPL")
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)

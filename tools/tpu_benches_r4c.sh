@@ -38,7 +38,16 @@ cp runs/ecoli_hdf5/logs/metrics.jsonl "$OUT/hdf5_train_metrics.jsonl" 2>/dev/nul
 run long_read_batch 5400 python benchmarks/long_read.py --read-len 131072 \
     --batch 8 --reps 2
 run bench_b4 2400 python bench.py --batch 4
-# trace-attribution experiment: unrolled cycles (no scan-carry copies /
-# stacked-param slicing) vs the scan default
+# trace-attribution experiments (RESULTS.md round 4):
+#  - unrolled cycles (no scan-carry copies / stacked-param slicing)
+#  - matmul conv lowering (isolated block: 79.9% -> 89.5% of peak)
 run bench_unrolled 3600 python bench.py --no-scan
+run bench_conv_matmul 2400 python bench.py --conv-matmul
+run bench_conv_matmul_unrolled 3600 python bench.py --conv-matmul --no-scan
+# idle-chip re-pair of the isolated block forms (the first matmul-form
+# measurement ran concurrently with the quality run)
+run roofline_block_forms 2400 python benchmarks/roofline.py \
+    --section block_bwd --iters 10
+run roofline_block_matmul 2400 python benchmarks/roofline.py \
+    --section block_bwd_matmul --iters 10
 echo "=== r4c done"

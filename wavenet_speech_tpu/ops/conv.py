@@ -48,7 +48,30 @@ def autopad(kernel_width: int, dilation: int) -> int:
 
 def _conv1d(x, w, *, dilation: int, pad_left: int, pad_right: int,
             precision=None):
-    """Core dilated conv over NLC input with explicit asymmetric padding."""
+    """Core dilated conv over NLC input with explicit asymmetric padding.
+
+    WAVENET_CONV_IMPL=matmul lowers the conv as K shifted einsums instead
+    of lax.conv_general_dilated: identical math (stride 1; tested in
+    test_conv_ops.py), but the round-4 hardware roofline shows XLA's conv
+    lowering leaves MXU throughput on the table for tiny-K dilated shapes
+    — block fwd+bwd 79.9% -> 89.5% of compute peak as matmuls
+    (benchmarks/roofline.py run_block_bwd_matmul, RESULTS.md round 4).
+    Read at trace time; default ("conv") is the XLA conv."""
+    import os
+
+    if os.environ.get("WAVENET_CONV_IMPL") == "matmul":
+        k = w.shape[0]
+        L_out = x.shape[1] + pad_left + pad_right - (k - 1) * dilation
+        xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+        out = None
+        for j in range(k):
+            term = jnp.einsum(
+                "blc,cd->bld",
+                lax.slice_in_dim(xp, j * dilation, j * dilation + L_out,
+                                 axis=1),
+                w[j], precision=precision)
+            out = term if out is None else out + term
+        return out
     return lax.conv_general_dilated(
         x,
         w,
