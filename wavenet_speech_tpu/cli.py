@@ -53,6 +53,7 @@ def build_from_config(cfg):
         upsampling=t.get("upsampling", 4),
         sample_noise=t.get("sample_noise", 2.0),
         pad_to=t.get("pad_to"), labels_pad_to=t.get("labels_pad_to"),
+        device_onehot=bool(t.get("device_onehot", False)),
     )
 
     model_type = cfg.get("model", {}).get("type", "wavenet-ctc")

@@ -25,7 +25,8 @@ def ecoli_worker_fn(hdf5_handle, keys: Sequence[str], rng,
                     num_levels: int = 256,
                     pad_to: Optional[int] = None,
                     labels_pad_to: Optional[int] = None,
-                    debug_mode: bool = False):
+                    debug_mode: bool = False,
+                    device_onehot: bool = False):
     """Build one batch from a random read (reference utils/worker_fns.py:13-64):
     sample subintervals of the eventalign `positions` index, slice reference
     bases (+4 for the 5-mer adjustment), concatenate the per-event
@@ -52,10 +53,19 @@ def ecoli_worker_fn(hdf5_handle, keys: Sequence[str], rng,
     signals = []
     for start_ix, stop_ix in subintervals:
         subsignal = np.concatenate(quantized[start_ix:stop_ix])
-        signals.append(one_hot_lc(subsignal.astype(np.int64), num_levels))
+        if device_onehot:
+            # ship the raw (L,) quantized LEVELS and let the jitted train
+            # step one-hot on device: the one-hot signal is num_levels x
+            # bigger than the levels (10 MB vs 39 KB a batch at the ecoli
+            # config) and host->device transfer through the TPU tunnel is
+            # the hdf5 path's bottleneck, not the step
+            signals.append(subsignal.astype(np.int32))
+        else:
+            signals.append(one_hot_lc(subsignal.astype(np.int64), num_levels))
 
     batch = Batch(
-        signal=pad_stack_lc(signals, pad_to),
+        signal=(pad_stack_labels(signals, pad_to) if device_onehot
+                else pad_stack_lc(signals, pad_to)),
         labels=pad_stack_labels(base_seqs, labels_pad_to),
         label_lengths=np.array([len(s) for s in base_seqs], np.int32),
         signal_lengths=np.array([s.shape[0] for s in signals], np.int32),
@@ -75,7 +85,8 @@ class QueueLoader:
                  num_levels: int = 256, valid_frac: float = 0.3,
                  pad_to: Optional[int] = None,
                  labels_pad_to: Optional[int] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 device_onehot: bool = False):
         import h5py
 
         self.hdf5 = h5py.File(dataset_path, "r")
@@ -96,7 +107,8 @@ class QueueLoader:
         self._worker_cfg = dict(batch_size=batch_size,
                                 sample_lengths=sample_lengths,
                                 num_levels=num_levels, pad_to=pad_to,
-                                labels_pad_to=labels_pad_to)
+                                labels_pad_to=labels_pad_to,
+                                device_onehot=device_onehot)
         self._threads = []
         for w in range(num_workers):
             for i, (split_keys, q) in enumerate(

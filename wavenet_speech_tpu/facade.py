@@ -208,7 +208,8 @@ class Dataset:
                 queue_size=kw.get("queue_size", 50), batch_size=bsz,
                 sample_lengths=lengths, num_levels=nlevels, seed=seed,
                 pad_to=kw.get("pad_to"),
-                labels_pad_to=kw.get("labels_pad_to"))
+                labels_pad_to=kw.get("labels_pad_to"),
+                device_onehot=kw.get("device_onehot", False))
         else:
             raise NotImplementedError("raw-hdf5 currently unsupported "
                                       "(matches reference Dataset.py:57-58)")

@@ -63,8 +63,19 @@ def make_joint_train_step(base_model, ctc_model, tx,
     Returns step_fn(state, batch) -> (state, metrics dict)."""
     loss = loss or JointLoss("joint")
 
+    def _signal(batch):
+        sig = batch["signal"]
+        if sig.ndim == 2:
+            # quantized LEVELS shipped from host (data/hdf5.py
+            # device_onehot): one-hot HERE, on device — the one-hot form
+            # is num_levels x bigger and host->device transfer through
+            # the tunnel dominates the hdf5 path otherwise
+            return jax.nn.one_hot(sig, base_model.in_dim,
+                                  dtype=jnp.float32)
+        return sig
+
     def loss_fn(params, batch):
-        signal = _cast(batch["signal"], compute_dtype)
+        signal = _cast(_signal(batch), compute_dtype)
         cparams = _cast(params, compute_dtype)
         signal_pred = base_model.apply(cparams["base"], signal)
         # the classifier reads the WaveNet's output distribution, exactly as
@@ -191,7 +202,11 @@ def make_eval_step(base_model, ctc_model, loss: Optional[JointLoss] = None,
     loss = loss or JointLoss("joint")
 
     def eval_fn(params, batch):
-        signal = _cast(batch["signal"], compute_dtype)
+        sig = batch["signal"]
+        if sig.ndim == 2:  # quantized levels -> one-hot on device (see
+            sig = jax.nn.one_hot(sig, base_model.in_dim,  # joint step)
+                                 dtype=jnp.float32)
+        signal = _cast(sig, compute_dtype)
         cparams = _cast(params, compute_dtype)
         signal_pred = base_model.apply(cparams["base"], signal)
         logits = ctc_model.apply(cparams["ctc"], signal_pred)
