@@ -222,7 +222,16 @@ def evaluate(cfg) -> int:
                       beam_width=t.get("beam_width", 7))
     # one jitted forward for decoding (model.predict run eagerly would cost
     # thousands of serialized dispatches through the tunnel)
-    predict_logits = jax.jit(lambda p, x: model.predict(p, x)[1])
+    import jax.numpy as jnp
+
+    C_sig = cfg.get("model", {}).get("base", {}).get("signal_dim", 256)
+
+    def _predict(p, x):
+        if x.ndim == 2:  # device_onehot levels batch (data/hdf5.py)
+            x = jax.nn.one_hot(x, C_sig, dtype=jnp.float32)
+        return model.predict(p, x)[1]
+
+    predict_logits = jax.jit(_predict)
     llf = _logit_length_fn(cfg, model,
                            cfg.get("model", {}).get("type", "wavenet-ctc"))
 
