@@ -66,3 +66,48 @@ def test_basecall_long_end_to_end():
     # samples, contaminating the last receptive field of logits; the
     # chunked path forwards the exact read
     np.testing.assert_allclose(score, scores[0], rtol=0.02)
+
+
+def test_chunked_batch_matches_per_read():
+    """chunked_logits_batch == per-read chunked_logits == monolithic
+    forward, long- and short-read branches."""
+    from wavenet_speech_tpu.inference import chunked_logits_batch
+
+    net = _rawctc()
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    for B, L, chunk_len in [(3, 300, 96), (2, 257, 100), (4, 96, 200)]:
+        sigs = rng.standard_normal((B, L, 1)).astype(np.float32)
+        got = chunked_logits_batch(net, params, sigs, chunk_len=chunk_len,
+                                   chunk_batch=3)
+        full = np.asarray(net.apply(params, jnp.asarray(sigs)))
+        assert got.shape == full.shape
+        np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-5)
+        for b in range(B):
+            per_read = chunked_logits(net, params, jnp.asarray(sigs[b]),
+                                      chunk_len=chunk_len, chunk_batch=3)
+            np.testing.assert_allclose(got[b], np.asarray(per_read),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_basecall_long_batch_matches_single():
+    """The batched serving path decodes each read identically to the
+    single-read path (same grid, same kernels, same beam)."""
+    from wavenet_speech_tpu.inference import Basecaller
+
+    net = _rawctc()
+    params = net.init(jax.random.PRNGKey(4))
+    # bias the head away from ties (untrained eye-init nets emit
+    # degenerate near-tie labels; see test_streaming_beam.py)
+    params["out2"]["b"] = params["out2"]["b"] + jnp.asarray(
+        [1.0, 0.6, -0.3, 0.1, -0.6], jnp.float32)
+    caller = Basecaller(model=net, params=params, beam_width=4)
+    rng = np.random.default_rng(11)
+    sigs = rng.standard_normal((3, 700, 1)).astype(np.float32)
+    seqs, scores = caller.basecall_long_batch(
+        sigs, chunk_len=256, beam_chunk_frames=128, label_window=256)
+    assert len(seqs) == 3
+    for b in range(3):
+        seq1, _ = caller.basecall_long(
+            sigs[b], chunk_len=256, beam_chunk_frames=128, label_window=256)
+        assert seqs[b] == seq1, (b, seqs[b][:40], seq1[:40])

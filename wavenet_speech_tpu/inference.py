@@ -155,10 +155,8 @@ class Basecaller:
         (vmapped chunk scans, decoding/streaming.StreamingBeamBatch).
         signals: (B, L, C)."""
         sigs = np.asarray(signals, np.float32)
-        logits = np.stack([
-            np.asarray(chunked_logits(self.model, self.params,
-                                      jnp.asarray(s), chunk_len, margin,
-                                      chunk_batch)) for s in sigs])
+        logits = np.asarray(chunked_logits_batch(
+            self.model, self.params, sigs, chunk_len, margin, chunk_batch))
         B, T, _ = logits.shape
         if self.beam_width <= 0:
             labels = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
@@ -232,14 +230,72 @@ def chunked_logits(model, params, signal, chunk_len: int,
     """
     L, C = signal.shape
     margin = _default_margin(model) if margin is None else int(margin)
+    _check_chunk_len(chunk_len, margin)
+    if L <= chunk_len:  # short read: one forward
+        return model.apply(params, signal[None])[0]
+    starts, bounds, extra = _chunk_grid(model, L, chunk_len, margin)
+
+    chunks = np.stack([np.asarray(signal[s: s + chunk_len]) for s in starts])
+    out = _run_chunk_fwd(model, params, chunks, chunk_batch)
+
+    pieces = [out[i, lo:hi] for i, (lo, hi) in enumerate(bounds)]
+    stitched = np.concatenate(pieces)
+    assert stitched.shape[0] == L + extra, (stitched.shape, L + extra)
+    return jnp.asarray(stitched)
+
+
+def chunked_logits_batch(model, params, signals, chunk_len: int,
+                         margin: Optional[int] = None,
+                         chunk_batch: int = 8) -> np.ndarray:
+    """Logits for a BATCH of equal-length long reads.
+
+    Equal lengths mean every read shares one chunk grid, so ALL B*n chunks
+    feed the same jitted (chunk_batch, chunk_len, C) forward back-to-back —
+    unlike per-read chunked_logits loops, no read pays a ragged batch-1
+    tail dispatch and the MXU sees full batches throughout (the round-3
+    long-read forward at B=1 ran ~30x below the batched short-read rate).
+    Per-read output is bit-identical to chunked_logits (same grid, same
+    kernels; tested in tests/test_chunked_inference.py).
+
+    Args:
+      signals: (B, L, C).
+    Returns: (B, L_out, num_labels) numpy logits.
+    """
+    sigs = np.asarray(signals, np.float32)
+    B, L, C = sigs.shape
+    margin = _default_margin(model) if margin is None else int(margin)
+    _check_chunk_len(chunk_len, margin)
+    if L <= chunk_len:  # short reads: plain batched forwards
+        return np.asarray(
+            _run_chunk_fwd(model, params, sigs, chunk_batch))
+    starts, bounds, extra = _chunk_grid(model, L, chunk_len, margin)
+    n = len(starts)
+
+    # read-major chunk stack: rows [b*n + i] = read b, chunk i
+    chunks = np.stack(
+        [sigs[b, s: s + chunk_len] for b in range(B) for s in starts])
+    out = _run_chunk_fwd(model, params, chunks, chunk_batch)
+    out = out.reshape(B, n, *out.shape[1:])
+
+    stitched = np.concatenate(
+        [out[:, i, lo:hi] for i, (lo, hi) in enumerate(bounds)], axis=1)
+    assert stitched.shape[1] == L + extra, (stitched.shape, L + extra)
+    return stitched
+
+
+def _check_chunk_len(chunk_len: int, margin: int) -> None:
     if chunk_len <= 2 * margin:
         raise ValueError(f"chunk_len {chunk_len} must exceed 2*margin "
                          f"({2 * margin})")
+
+
+def _chunk_grid(model, L: int, chunk_len: int, margin: int):
+    """The overlapping-chunk plan for one read length: chunk start offsets,
+    per-chunk kept (lo, hi) output slices (which tile [0, L_out) exactly),
+    and the model's output-length extension."""
+    _check_chunk_len(chunk_len, margin)
     extra = (model.output_length(chunk_len) - chunk_len
              if hasattr(model, "output_length") else 0)
-    if L <= chunk_len:  # short read: one forward
-        return model.apply(params, signal[None])[0]
-
     step = chunk_len - 2 * margin
     starts = list(range(0, L - chunk_len + step, step))
     # right-align the last chunk so every raw sample is covered
@@ -247,19 +303,7 @@ def chunked_logits(model, params, signal, chunk_len: int,
         starts.append(L - chunk_len)
     starts[-1] = min(starts[-1], L - chunk_len)
 
-    fwd = _chunk_fwd(model)
-    chunks = np.stack([np.asarray(signal[s: s + chunk_len]) for s in starts])
-    outs = []
-    pad_n = (-len(chunks)) % chunk_batch
-    if pad_n:
-        chunks = np.concatenate(
-            [chunks, np.zeros((pad_n,) + chunks.shape[1:], chunks.dtype)])
-    for i in range(0, len(chunks), chunk_batch):
-        outs.append(np.asarray(fwd(params, jnp.asarray(chunks[i: i + chunk_batch]))))
-    out = np.concatenate(outs)[: len(starts)]  # (n, chunk_len + extra, C')
-
-    L_out = L + extra
-    pieces = []
+    bounds = []
     pos = 0  # next global output frame to emit
     for i, s in enumerate(starts):
         lo = pos - s                       # local start of the kept slice
@@ -270,8 +314,24 @@ def chunked_logits(model, params, signal, chunk_len: int,
             nxt = starts[i + 1] + margin   # global frame the next chunk owns
             hi = min(hi, nxt - s)
         hi = max(hi, lo)  # a fully-shadowed chunk contributes nothing
-        pieces.append(out[i, lo:hi])
+        bounds.append((lo, hi))
         pos = s + hi
-    stitched = np.concatenate(pieces)
-    assert stitched.shape[0] == L_out, (stitched.shape, L_out)
-    return jnp.asarray(stitched)
+    return starts, bounds, extra
+
+
+def _run_chunk_fwd(model, params, chunks: np.ndarray,
+                   chunk_batch: int) -> np.ndarray:
+    """Run (N, chunk_len, C) chunks through the cached jitted forward in
+    groups of chunk_batch (zero-padding the tail group so every dispatch
+    compiles to the same shape)."""
+    fwd = _chunk_fwd(model)
+    N = len(chunks)
+    pad_n = (-N) % chunk_batch
+    if pad_n:
+        chunks = np.concatenate(
+            [chunks, np.zeros((pad_n,) + chunks.shape[1:], chunks.dtype)])
+    outs = []
+    for i in range(0, len(chunks), chunk_batch):
+        outs.append(np.asarray(
+            fwd(params, jnp.asarray(chunks[i: i + chunk_batch]))))
+    return np.concatenate(outs)[:N]
