@@ -56,6 +56,13 @@ def _watchdog():
 threading.Thread(target=_watchdog, daemon=True).start()
 
 
+def _conv_impl_label() -> str:
+    """The conv lowering this run resolved to (k=2 blocks dominate)."""
+    from wavenet_speech_tpu.ops.conv import conv_impl
+
+    return conv_impl(2)
+
+
 def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
                  pool: int, remat: bool):
     """Returns (strict_model_flops, hardware_flops) of one joint train step.
@@ -174,8 +181,8 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
                   f"30+18 blocks, 256ch, L={signal_len}, B={batch_size}"
                   + (", pallas" if use_pallas else "")
                   + ("" if scan_cycles else ", unrolled")
-                  + (", conv=matmul" if os.environ.get("WAVENET_CONV_IMPL")
-                     == "matmul" else "") + ")",
+                  + (", conv=matmul" if _conv_impl_label() == "matmul"
+                     else "") + ")",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
@@ -207,12 +214,20 @@ if __name__ == "__main__":
                          "territory — run backgrounded with a timeout, "
                          "never SIGKILL mid-compile (CLAUDE.md)")
     ap.add_argument("--conv-matmul", action="store_true",
-                    help="lower dilated convs as K shifted einsums "
-                         "(WAVENET_CONV_IMPL=matmul; see ops/conv.py)")
+                    help="force the K-shifted-einsum conv lowering "
+                         "(WAVENET_CONV_IMPL=matmul; already the TPU "
+                         "default for k<=4 — see ops/conv.py)")
+    ap.add_argument("--conv-xla", action="store_true",
+                    help="force lax.conv_general_dilated (the round-3 "
+                         "ablation baseline; WAVENET_CONV_IMPL=conv)")
+    ap.add_argument("--scan", action="store_true",
+                    help="compile the dilation cycles as lax.scan over "
+                         "stacked params (the round-3 default; smaller "
+                         "HLO, slower: scan-carry copies + stacked-param "
+                         "slicing cost 6.4 ms/step, RESULTS.md round 4)")
     ap.add_argument("--no-scan", action="store_true",
-                    help="unroll the dilation cycles instead of lax.scan "
-                         "(trace-attribution experiment: no scan-carry "
-                         "copies / stacked-param slicing)")
+                    help="(default since round 4) unroll the dilation "
+                         "cycles — XLA schedules across all blocks")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of 3 "
                          "steady-state steps into DIR")
@@ -221,6 +236,8 @@ if __name__ == "__main__":
         os.environ["WAVENET_FUSED_BWD"] = "1"
     if a.conv_matmul:
         os.environ["WAVENET_CONV_IMPL"] = "matmul"
+    if a.conv_xla:
+        os.environ["WAVENET_CONV_IMPL"] = "conv"
     main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
          use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace,
-         scan_cycles=not a.no_scan)
+         scan_cycles=a.scan)

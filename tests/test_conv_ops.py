@@ -154,3 +154,23 @@ def test_matmul_conv_impl_block_grads_match(monkeypatch):
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_conv_impl_resolution(monkeypatch):
+    """conv_impl(): env always wins; unset, matmul is the TPU default only
+    for k <= 4 (the measured round-4 champion regime) and lax.conv
+    elsewhere (CPU tests therefore keep the XLA lowering)."""
+    import jax
+
+    from wavenet_speech_tpu.ops.conv import conv_impl
+
+    monkeypatch.setenv("WAVENET_CONV_IMPL", "conv")
+    assert conv_impl(2) == "conv"
+    monkeypatch.setenv("WAVENET_CONV_IMPL", "matmul")
+    assert conv_impl(9) == "matmul"
+    monkeypatch.delenv("WAVENET_CONV_IMPL")
+    if jax.default_backend() == "tpu":  # pragma: no cover (CPU suite)
+        assert conv_impl(2) == "matmul"
+        assert conv_impl(9) == "conv"
+    else:
+        assert conv_impl(2) == "conv"

@@ -46,20 +46,42 @@ def autopad(kernel_width: int, dilation: int) -> int:
     return total // 2
 
 
+_MATMUL_MAX_K = 4  # matmul lowering is the measured win for tiny-K convs
+
+
+def conv_impl(k: int) -> str:
+    """Resolved conv lowering for a kernel width: "matmul" (K shifted
+    einsums) or "conv" (lax.conv_general_dilated).
+
+    WAVENET_CONV_IMPL={matmul,conv} forces one lowering everywhere. Unset,
+    the TPU backend defaults to the matmul lowering for k <= 4 — the
+    round-4 end-to-end champion (852k -> 895k samples/s from this lever
+    alone on the k=2 bench workload; 79.9% -> 89.5% of compute peak on the
+    isolated block fwd+bwd, RESULTS.md round 4) — and keeps lax.conv for
+    wide kernels (the k=9 featurizer already runs at 84% of peak through
+    XLA's own lowering, and K einsum shifts re-read the input K times).
+    Non-TPU backends default to lax.conv (tests pin the two lowerings
+    equal, tests/test_conv_ops.py)."""
+    import os
+
+    impl = os.environ.get("WAVENET_CONV_IMPL")
+    if impl:
+        return impl
+    if k <= _MATMUL_MAX_K and jax.default_backend() == "tpu":
+        return "matmul"
+    return "conv"
+
+
 def _conv1d(x, w, *, dilation: int, pad_left: int, pad_right: int,
             precision=None):
     """Core dilated conv over NLC input with explicit asymmetric padding.
 
-    WAVENET_CONV_IMPL=matmul lowers the conv as K shifted einsums instead
-    of lax.conv_general_dilated: identical math (stride 1; tested in
-    test_conv_ops.py), but the round-4 hardware roofline shows XLA's conv
-    lowering leaves MXU throughput on the table for tiny-K dilated shapes
-    — block fwd+bwd 79.9% -> 89.5% of compute peak as matmuls
-    (benchmarks/roofline.py run_block_bwd_matmul, RESULTS.md round 4).
-    Read at trace time; default ("conv") is the XLA conv."""
-    import os
-
-    if os.environ.get("WAVENET_CONV_IMPL") == "matmul":
+    Two value-equal lowerings, resolved at trace time by conv_impl():
+    lax.conv_general_dilated, or K shifted einsums (stride 1; tested in
+    test_conv_ops.py) — the round-4 hardware roofline showed XLA's conv
+    lowering leaves MXU throughput on the table for tiny-K dilated
+    shapes, so "matmul" is the TPU default for k <= 4."""
+    if conv_impl(int(w.shape[0])) == "matmul":
         k = w.shape[0]
         L_out = x.shape[1] + pad_left + pad_right - (k - 1) * dilation
         xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
