@@ -89,7 +89,7 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
          steps: int = 10, warmup: int = 3, bf16: bool = True,
          remat: bool = True, use_pallas: bool = False,
-         trace_dir: str = None, scan_cycles: bool = True):
+         trace_dir: str = None, scan_cycles: bool = False):
     import jax
     import jax.numpy as jnp
 
