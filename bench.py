@@ -87,9 +87,10 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
-         steps: int = 10, warmup: int = 3, bf16: bool = True,
+         steps: int = 20, warmup: int = 2, bf16: bool = True,
          remat: bool = True, use_pallas: bool = False,
-         trace_dir: str = None, scan_cycles: bool = False):
+         trace_dir: str = None, scan_cycles: bool = False,
+         steps_per_call: int = 10, scan_unroll: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -117,9 +118,21 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     params = {"base": base.init(key), "ctc": clf.init(jax.random.PRNGKey(1))}
     tx = build_optimizer("adagrad", 3e-5)  # reference optimizer (cell 15)
     state = TrainState.create(params, tx)
+    # steps_per_call > 1: ONE dispatched program runs K optimizer steps on
+    # device (lax.scan over the donated TrainState) — the round-4 trace
+    # showed the device 99.4% busy at 30.6 ms while the host observed
+    # 33.4-35.4 ms: a pure per-dispatch tunnel tax that the K-step loop
+    # amortizes away (VERDICT r4 #2).
     step = make_joint_train_step(
         base, clf, tx, JointLoss("joint"),
-        compute_dtype=jnp.bfloat16 if bf16 else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None,
+        steps_per_call=steps_per_call, multi_same_batch=True,
+        scan_unroll=scan_unroll)
+    K = max(1, steps_per_call)
+
+    def _last_loss(metrics):
+        tl = metrics["total_loss"]
+        return float(tl if K == 1 else tl[-1])
 
     rng = np.random.default_rng(0)
     levels = rng.integers(0, num_levels, size=(batch_size, signal_len))
@@ -139,7 +152,7 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
     for _ in range(warmup):
         state, metrics = step(state, batch)
         _tick()
-    float(metrics["total_loss"])  # full sync (value readback)
+    _last_loss(metrics)  # full sync (value readback)
     _tick()
 
     if trace_dir:
@@ -148,9 +161,9 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
         # unsupported through the remote-PJRT tunnel — never fatal.
         try:
             jax.profiler.start_trace(trace_dir)
-            for _ in range(3):
+            for _ in range(3 if K == 1 else 1):
                 state, metrics = step(state, batch)
-            float(metrics["total_loss"])
+            _last_loss(metrics)
             jax.profiler.stop_trace()
             print(f"[bench] device trace written to {trace_dir}",
                   file=sys.stderr, flush=True)
@@ -159,12 +172,13 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
                   file=sys.stderr, flush=True)
         _tick()
 
+    calls = max(1, (steps + K - 1) // K)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(calls):
         state, metrics = step(state, batch)
-    final_loss = float(metrics["total_loss"])  # forces the whole chain
+    final_loss = _last_loss(metrics)  # forces the whole chain
     _tick()
-    dt = (time.perf_counter() - t0) / steps
+    dt = (time.perf_counter() - t0) / (calls * K)
     assert np.isfinite(final_loss)
 
     samples_per_sec = batch_size * signal_len / dt
@@ -182,7 +196,8 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
                   + (", pallas" if use_pallas else "")
                   + ("" if scan_cycles else ", unrolled")
                   + (", conv=matmul" if _conv_impl_label() == "matmul"
-                     else "") + ")",
+                     else "")
+                  + (f", {K} steps/dispatch" if K > 1 else "") + ")",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
@@ -194,6 +209,7 @@ def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
         "hw_flops_util": round(mfu_fn(hw_flops, dt, dtype), 4),
         "model_tflops_per_step": round(strict_flops / 1e12, 3),
         "hw_tflops_per_step": round(hw_flops / 1e12, 3),
+        "steps_per_dispatch": K,
     }))
 
 
@@ -202,7 +218,17 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20,
+                    help="total timed optimizer steps (rounded up to a "
+                         "multiple of --steps-per-call)")
+    ap.add_argument("--steps-per-call", type=int, default=10,
+                    help="optimizer steps per dispatched XLA program "
+                         "(device-side lax.scan; default 10 amortizes the "
+                         "~3-4 ms/step tunnel dispatch tax — round-5 "
+                         "default. 1 restores the per-step dispatch "
+                         "baseline)")
+    ap.add_argument("--scan-unroll", type=int, default=1,
+                    help="unroll factor of the K-step device loop")
     ap.add_argument("--batch", type=int, default=8,
                     help="batch size (8 = the cross-round series default; "
                          "other values are ablation rows)")
@@ -220,14 +246,17 @@ if __name__ == "__main__":
     ap.add_argument("--conv-xla", action="store_true",
                     help="force lax.conv_general_dilated (the round-3 "
                          "ablation baseline; WAVENET_CONV_IMPL=conv)")
-    ap.add_argument("--scan", action="store_true",
-                    help="compile the dilation cycles as lax.scan over "
-                         "stacked params (the round-3 default; smaller "
-                         "HLO, slower: scan-carry copies + stacked-param "
-                         "slicing cost 6.4 ms/step, RESULTS.md round 4)")
-    ap.add_argument("--no-scan", action="store_true",
-                    help="(default since round 4) unroll the dilation "
-                         "cycles — XLA schedules across all blocks")
+    scan_group = ap.add_mutually_exclusive_group()
+    scan_group.add_argument("--scan", action="store_true",
+                            help="compile the dilation cycles as lax.scan "
+                                 "over stacked params (the round-3 default; "
+                                 "smaller HLO, slower: scan-carry copies + "
+                                 "stacked-param slicing cost 6.4 ms/step, "
+                                 "RESULTS.md round 4)")
+    scan_group.add_argument("--no-scan", action="store_true",
+                            help="unroll the dilation cycles — XLA "
+                                 "schedules across all blocks (the default "
+                                 "since round 4)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of 3 "
                          "steady-state steps into DIR")
@@ -240,4 +269,5 @@ if __name__ == "__main__":
         os.environ["WAVENET_CONV_IMPL"] = "conv"
     main(batch_size=a.batch, steps=a.steps, remat=not a.no_remat,
          use_pallas=a.pallas or a.fused_bwd, trace_dir=a.trace,
-         scan_cycles=a.scan)
+         scan_cycles=a.scan, steps_per_call=a.steps_per_call,
+         scan_unroll=a.scan_unroll)

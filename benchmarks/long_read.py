@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--chunk-len", type=int, default=16384)
     ap.add_argument("--beam-chunk-frames", type=int, default=4096)
     ap.add_argument("--label-window", type=int, default=4096)
+    ap.add_argument("--cutoff-top-n", type=int, default=None,
+                    help="per-frame label pre-prune for the beam engines "
+                         "(ctcdecode's cutoff_top_n)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure the batched serving path "
@@ -58,7 +61,8 @@ def main(argv=None):
     signal = rng.standard_normal((args.read_len, 1)).astype(np.float32)
 
     for engine, W in (("streaming-beam", args.beam_width), ("greedy", 0)):
-        caller = Basecaller(model=net, params=params, beam_width=W)
+        caller = Basecaller(model=net, params=params, beam_width=W,
+                            cutoff_top_n=args.cutoff_top_n)
         seq, score = caller.basecall_long(     # compile warmup
             signal, chunk_len=args.chunk_len,
             beam_chunk_frames=args.beam_chunk_frames,
@@ -77,6 +81,7 @@ def main(argv=None):
             "audio_samples_per_sec": round(args.read_len / dt, 1),
             "decoded_labels": len(seq),
             "beam_width": W, "label_window": args.label_window,
+            "cutoff_top_n": args.cutoff_top_n,
             "nfeats": nfeats,
         }))
 
@@ -84,7 +89,8 @@ def main(argv=None):
         B = args.batch
         sigs = rng.standard_normal((B, args.read_len, 1)).astype(np.float32)
         caller = Basecaller(model=net, params=params,
-                            beam_width=args.beam_width)
+                            beam_width=args.beam_width,
+                            cutoff_top_n=args.cutoff_top_n)
         seqs, _ = caller.basecall_long_batch(   # warmup
             sigs, chunk_len=args.chunk_len,
             beam_chunk_frames=args.beam_chunk_frames,
@@ -103,6 +109,7 @@ def main(argv=None):
             "reads_per_sec": round(B / dt, 3),
             "audio_samples_per_sec": round(B * args.read_len / dt, 1),
             "beam_width": args.beam_width,
+            "cutoff_top_n": args.cutoff_top_n,
             "label_window": args.label_window, "nfeats": nfeats,
         }))
 

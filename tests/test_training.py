@@ -189,3 +189,72 @@ def test_nonfinite_step_is_skipped():
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(jax.tree_util.tree_leaves(state2.params),
                                jax.tree_util.tree_leaves(state3.params)))
+
+
+def test_multi_step_scan_matches_sequential():
+    """steps_per_call > 1 compiles K optimizer steps into ONE dispatched
+    program (trainer._scan_steps — erases the per-step dispatch tax the
+    reference pays in its Python loop, wavenet_speech.py:59-80). K scanned
+    steps must reproduce K sequential single-step calls exactly, in both
+    batch modes (same batch re-fed / K stacked batches)."""
+    D, L, B, K = 8, 64, 2, 4
+    base = WaveNet(D, 2, tuple((D, D, 2, d) for d in (1, 2)), D,
+                   softmax=False)
+    clf = WaveNetClassifier(D, 5, tuple((D, D, 2, d) for d in (1, 2)), D,
+                            pool_kernel_size=4, softmax=False)
+    params = {"base": base.init(jax.random.PRNGKey(0)),
+              "ctc": clf.init(jax.random.PRNGKey(1))}
+    tx = build_optimizer("adagrad", 3e-4)
+    rng = np.random.default_rng(0)
+
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        sig = np.eye(D, dtype=np.float32)[r.integers(0, D, size=(B, L))]
+        return {"signal": jnp.asarray(sig),
+                "labels": jnp.asarray(r.integers(1, 5, size=(B, 6)),
+                                      jnp.int32),
+                "label_lengths": jnp.full((B,), 6, jnp.int32),
+                "signal_lengths": jnp.full((B,), L, jnp.int32)}
+
+    step1 = make_joint_train_step(base, clf, tx, JointLoss("joint"),
+                                  donate=False)
+
+    # mode 1: one batch re-fed to every inner step (bench.py's workload)
+    batch = mk_batch(0)
+    s_seq = TrainState.create(params, tx)
+    for _ in range(K):
+        s_seq, m_seq = step1(s_seq, batch)
+    stepK = make_joint_train_step(base, clf, tx, JointLoss("joint"),
+                                  donate=False, steps_per_call=K,
+                                  multi_same_batch=True)
+    s_multi, m_multi = stepK(TrainState.create(params, tx), batch)
+    assert m_multi["total_loss"].shape == (K,)
+    np.testing.assert_allclose(float(m_multi["total_loss"][-1]),
+                               float(m_seq["total_loss"]), rtol=1e-6)
+    assert int(s_multi.step) == K
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_seq.params),
+            jax.tree_util.tree_leaves_with_path(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+    # mode 2: K distinct batches stacked on a leading scan axis (the
+    # cli.py steps_per_call path)
+    batches = [mk_batch(i) for i in range(K)]
+    s_seq = TrainState.create(params, tx)
+    for b in batches:
+        s_seq, m_seq = step1(s_seq, b)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    stepKs = make_joint_train_step(base, clf, tx, JointLoss("joint"),
+                                   donate=False, steps_per_call=K,
+                                   multi_same_batch=False)
+    s_multi, m_multi = stepKs(TrainState.create(params, tx), stacked)
+    np.testing.assert_allclose(float(m_multi["total_loss"][-1]),
+                               float(m_seq["total_loss"]), rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_seq.params),
+            jax.tree_util.tree_leaves_with_path(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(kp))

@@ -47,16 +47,22 @@ from wavenet_speech_tpu.decoding.ctc_beam_device import (
 
 
 @functools.lru_cache(maxsize=8)
-def _jit_scan(blank: int):
-    """Jitted beam_scan, cached per blank id: a fresh jax.jit per
-    StreamingBeam instance (= per READ in basecall_long) defeated jit's
-    function-identity cache and recompiled the scan for every read."""
-    return jax.jit(partial(beam_scan, blank=blank))
+def _jit_scan(blank: int, prune: Optional[int] = None):
+    """Jitted beam_scan, cached per (blank, cutoff_top_n): a fresh jax.jit
+    per StreamingBeam instance (= per READ in basecall_long) defeated jit's
+    function-identity cache and recompiled the scan for every read.
+
+    prune = ctcdecode's cutoff_top_n: only each frame's top-`prune` labels
+    become extension candidates (decoding/ctc_beam_device._beam_step) —
+    measured 1.75x on the monolithic beam at speech-alphabet scale
+    (RESULTS.md round 3); VERDICT r4 #5 wires it through the streaming
+    path too."""
+    return jax.jit(partial(beam_scan, blank=blank, prune=prune))
 
 
 @functools.lru_cache(maxsize=8)
-def _jit_scan_batch(blank: int):
-    return jax.jit(jax.vmap(partial(beam_scan, blank=blank),
+def _jit_scan_batch(blank: int, prune: Optional[int] = None):
+    return jax.jit(jax.vmap(partial(beam_scan, blank=blank, prune=prune),
                             in_axes=(0, 0, None, 0)))
 
 
@@ -70,7 +76,7 @@ class StreamingBeam:
     chunk-by-chunk with (T_c, C) log-probs."""
 
     def __init__(self, beam_width: int = 7, label_window: int = 2048,
-                 blank: int = 0):
+                 blank: int = 0, cutoff_top_n: Optional[int] = None):
         self.beam_width = int(beam_width)
         self.window = int(label_window)
         self.blank = int(blank)
@@ -80,7 +86,7 @@ class StreamingBeam:
         self.committed_times: list[int] = []
         self.frames_fed = 0
         self.saturated_chunks = 0
-        self._scan = _jit_scan(self.blank)
+        self._scan = _jit_scan(self.blank, cutoff_top_n)
 
     def feed(self, log_probs: np.ndarray, valid: Optional[int] = None) -> None:
         """Advance over one chunk. log_probs: (T_c, C) log-softmax frames
@@ -161,7 +167,8 @@ class StreamingBeamBatch:
     ragged reads just stop absorbing frames early)."""
 
     def __init__(self, batch: int, lengths, beam_width: int = 7,
-                 label_window: int = 2048, blank: int = 0):
+                 label_window: int = 2048, blank: int = 0,
+                 cutoff_top_n: Optional[int] = None):
         self.batch = int(batch)
         self.lengths = np.asarray(lengths, np.int32)
         assert self.lengths.shape == (self.batch,)
@@ -176,7 +183,7 @@ class StreamingBeamBatch:
         self.committed_times = [[] for _ in range(self.batch)]
         self.frames_fed = 0
         self.saturated_chunks = 0
-        self._scan = _jit_scan_batch(self.blank)
+        self._scan = _jit_scan_batch(self.blank, cutoff_top_n)
 
     def feed(self, log_probs: np.ndarray) -> None:
         """log_probs: (B, T_c, C) log-softmax chunk (same grid for all)."""
@@ -237,18 +244,20 @@ class StreamingBeamBatch:
 
 def streaming_beam_decode(log_probs, beam_width: int = 7,
                           label_window: int = 2048, chunk_frames: int = 4096,
-                          blank: int = 0, log_input: bool = True
+                          blank: int = 0, log_input: bool = True,
+                          cutoff_top_n: Optional[int] = None
                           ) -> Tuple[np.ndarray, float, np.ndarray]:
     """Decode ONE (T, C) log-prob sequence with the streaming beam.
 
     Returns (labels, score, times) of the best hypothesis. Parity with the
     monolithic ctc_beam_search_jax is tested in
-    tests/test_streaming_beam.py."""
+    tests/test_streaming_beam.py. cutoff_top_n: per-frame label pre-prune
+    (exact whenever every top-W survivor is in the frame's top-K)."""
     lp = np.asarray(log_probs, np.float32)
     if not log_input:
         lp = np.asarray(jax.nn.log_softmax(jnp.asarray(lp), axis=-1))
     sb = StreamingBeam(beam_width=beam_width, label_window=label_window,
-                       blank=blank)
+                       blank=blank, cutoff_top_n=cutoff_top_n)
     T = lp.shape[0]
     # fixed chunk shape (pad the tail with carry-through frames) so every
     # read length reuses ONE compiled scan

