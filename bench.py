@@ -87,10 +87,10 @@ def _model_flops(num_levels: int, wavenet_layers, clf_layers, L: int, B: int,
 
 
 def main(batch_size: int = 8, signal_len: int = 4505, num_levels: int = 256,
-         steps: int = 20, warmup: int = 2, bf16: bool = True,
+         steps: int = 60, warmup: int = 2, bf16: bool = True,
          remat: bool = True, use_pallas: bool = False,
          trace_dir: str = None, scan_cycles: bool = False,
-         steps_per_call: int = 10, scan_unroll: int = 1):
+         steps_per_call: int = 20, scan_unroll: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -218,15 +218,16 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--steps", type=int, default=20,
+    ap.add_argument("--steps", type=int, default=60,
                     help="total timed optimizer steps (rounded up to a "
                          "multiple of --steps-per-call)")
-    ap.add_argument("--steps-per-call", type=int, default=10,
+    ap.add_argument("--steps-per-call", type=int, default=20,
                     help="optimizer steps per dispatched XLA program "
-                         "(device-side lax.scan; default 10 amortizes the "
-                         "~3-4 ms/step tunnel dispatch tax — round-5 "
-                         "default. 1 restores the per-step dispatch "
-                         "baseline)")
+                         "(device-side lax.scan; default 20 amortizes the "
+                         "~3-4 ms/step tunnel dispatch tax plus the one "
+                         "end-of-run readback — round-5 default, measured "
+                         "1.164M samples/s vs 1.019M per-step. 1 restores "
+                         "the per-step dispatch baseline)")
     ap.add_argument("--scan-unroll", type=int, default=1,
                     help="unroll factor of the K-step device loop")
     ap.add_argument("--batch", type=int, default=8,
