@@ -3,6 +3,7 @@ from wavenet_speech_tpu.training.optimizer import (
     Optimizer,
     ReduceLROnPlateau,
     build_optimizer,
+    make_lr_schedule,
 )
 from wavenet_speech_tpu.training.trainer import (
     TrainState,
@@ -17,6 +18,7 @@ __all__ = [
     "Optimizer",
     "ReduceLROnPlateau",
     "build_optimizer",
+    "make_lr_schedule",
     "TrainState",
     "make_joint_train_step",
     "make_ctc_train_step",

@@ -14,11 +14,38 @@ import jax.numpy as jnp
 import optax
 
 
-def build_optimizer(optim_type: str, learning_rate: float,
+def make_lr_schedule(opt_cfg: dict):
+    """Resolve the config's optim block to a learning rate or optax
+    schedule (optax optimizers accept either).
+
+    Config keys (all under "optim"): "schedule" = null/"constant" (the
+    reference protocol) | "warmup_cosine" (linear warmup then cosine decay
+    to end_factor * peak over decay_steps) | "warmup_constant" (linear
+    warmup then flat); "warmup_steps" (default 500), "decay_steps",
+    "end_factor" (default 0.05). The reference's drivers hard-code
+    constant LR (legacy_code/train.py:60); schedules are what its
+    real-data path lacked to converge (VERDICT r4 #3)."""
+    lr = opt_cfg["learning_rate"]
+    sched = (opt_cfg.get("schedule") or "constant").lower()
+    if sched == "constant":
+        return lr
+    warmup = int(opt_cfg.get("warmup_steps", 500))
+    if sched == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps=warmup,
+            decay_steps=int(opt_cfg["decay_steps"]),
+            end_value=lr * float(opt_cfg.get("end_factor", 0.05)))
+    if sched == "warmup_constant":
+        return optax.linear_schedule(0.0, lr, warmup)
+    raise ValueError(f"unknown lr schedule: {sched}")
+
+
+def build_optimizer(optim_type: str, learning_rate,
                     weight_decay: Optional[float] = None,
                     max_grad_norm: Optional[float] = None,
                     max_update_norm: Optional[float] = None) -> optax.GradientTransformation:
     """Build an optax chain from the reference's config vocabulary.
+    learning_rate: a float, or an optax schedule (make_lr_schedule).
 
     max_grad_norm clips RAW gradients (standard, but note: the batch-summed
     CTC loss produces gradient norms of O(1e13) through the 100-block
