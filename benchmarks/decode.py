@@ -39,7 +39,7 @@ def main(argv=None):
                     help="per-frame top-K label pre-prune (cutoff_top_n)")
     ap.add_argument("--beam-impl", default=None, choices=["xla", "pallas"],
                     help="beam engine for device/beam-only: xla scan or "
-                         "the fused Pallas kernel (ops/pallas/beam.py)")
+                         "the fused Pallas kernel (ops/pallas/attic/beam.py)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--engines", nargs="+",
                     default=["device", "native", "greedy"],

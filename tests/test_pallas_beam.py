@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from wavenet_speech_tpu.decoding.ctc_beam_device import (NEG_INF,
                                                          ctc_beam_search_jax)
-from wavenet_speech_tpu.ops.pallas.beam import beam_search_pallas
+from wavenet_speech_tpu.ops.pallas.attic.beam import beam_search_pallas
 
 
 def _lp(B, T, C, seed=0, sharp=2.0, blank_frac=0.6):

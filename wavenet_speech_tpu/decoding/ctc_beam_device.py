@@ -249,8 +249,10 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
       prune: per-frame top-K label pre-prune for large alphabets
         (ctcdecode's cutoff_top_n); None = exact over all C labels.
       impl: "xla" (lax.scan over vmapped frames — the default) or
-        "pallas" (one fused kernel per sequence, ops/pallas/beam.py —
-        interpret-verified, opt-in on hardware; WAVENET_BEAM_IMPL env
+        "pallas" (ATTIC: the fused per-sequence kernel,
+        ops/pallas/attic/beam.py — parity-tested but measured 19x slower
+        than the XLA scan at B=32 because the grid serializes the batch;
+        kept only so tests keep exercising it. WAVENET_BEAM_IMPL env
         overrides the default).
     Returns:
       prefixes: (B, W, S) int32 label arrays (0-padded)
@@ -268,8 +270,8 @@ def ctc_beam_search_jax(logits, lengths=None, beam_width: int = 7,
 
         impl = os.environ.get("WAVENET_BEAM_IMPL", "xla")
     if impl == "pallas":
-        from wavenet_speech_tpu.ops.pallas.beam import (WPAD,
-                                                        beam_search_pallas)
+        from wavenet_speech_tpu.ops.pallas.attic.beam import (
+            WPAD, beam_search_pallas)
 
         if beam_width > WPAD:
             # the kernel packs beam rows into one sublane tile (WPAD=8);

@@ -17,9 +17,19 @@ invariant, same times bookkeeping, same NEG_INF convention); equality is
 tested against the XLA path in interpret mode (tests/test_pallas_beam.py)
 — the kernel is CPU-testable end-to-end.
 
-Status: interpret-verified; opt-in on hardware via
-ctc_beam_search_jax(..., impl="pallas") / WAVENET_BEAM_IMPL=pallas until
-the TPU compile is proven (kernel authored during a relay outage).
+Status: ATTIC (round 5; VERDICT r4 #8). Compiles and runs on hardware,
+parity-tested — but measured 66.5 seq/s at (B=32, L=2048, W=7, C=5) vs the
+XLA beam scan's ~1,274 (results/tpu_r4/decode_pallas_beam.json): the TPU
+grid executes batch cells SEQUENTIALLY with (8, 256)-tile VPU ops while
+the XLA scan vectorizes each frame across the whole batch — batching beats
+dispatch-latency elimination by 19x. Making it competitive would need
+batch-vectorized beam state ((B*W, S) rows with per-batch segmented
+top-W/merge reductions) — recorded, not pursued: the XLA beam already
+decodes near the greedy ceiling's neighborhood, so the ceiling for this
+kernel is parity with an already-fast path. Reachable only via the
+explicit opt-ins ctc_beam_search_jax(..., impl="pallas") /
+WAVENET_BEAM_IMPL=pallas, which remain solely so the parity tests keep
+exercising the kernel (tests/test_pallas_beam.py).
 """
 from __future__ import annotations
 
