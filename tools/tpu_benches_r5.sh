@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-5 TPU measurement batch — run when the chip is otherwise idle
+# (time-sliced numbers are not comparable). Each bench wrapped in the
+# stall-retry runner (CLAUDE.md: one-shot benches hang ~1-in-3 during bad
+# tunnel windows). Ordered by VERDICT-r4 priority.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+OUT=results/tpu_r5
+mkdir -p "$OUT"
+
+run() {  # run <name> <per-attempt-secs> <attempts> cmd...
+  local name=$1 t=$2 n=$3; shift 3
+  echo "=== $name: $* [$(date -u +%H:%M:%S)]"
+  tools/run_with_retries.sh "$t" "$n" "$@" \
+      > "$OUT/$name.json" 2> "$OUT/$name.err"
+  local rc=$?
+  echo "--- rc=$rc ; $(tail -c 400 "$OUT/$name.json")"
+}
+
+# VERDICT r4 #5: batched long-read serving with the cutoff_top_n prune
+# wired through the streaming beam (plus a bigger serving batch)
+run long_read_b8_cut4 1500 3 python benchmarks/long_read.py \
+    --read-len 131072 --batch 8 --reps 2 --cutoff-top-n 4
+run long_read_b16_cut4 1800 3 python benchmarks/long_read.py \
+    --read-len 131072 --batch 16 --reps 2 --cutoff-top-n 4
+run long_read_b16 1800 2 python benchmarks/long_read.py \
+    --read-len 131072 --batch 16 --reps 2
+
+# VERDICT r4 #7: trace the K-step champion and attribute the residue
+run bench_trace_k20 1200 2 python bench.py --trace "$OUT/trace_k20"
+if [ -d "$OUT/trace_k20" ]; then
+  python tools/analyze_trace.py "$OUT/trace_k20" \
+      > "$OUT/trace_k20_attribution.json" 2> "$OUT/trace_k20_attribution.err"
+  echo "--- attribution: $(tail -c 300 "$OUT/trace_k20_attribution.json")"
+fi
+
+echo "=== r5 benches done [$(date -u +%H:%M:%S)]"
