@@ -27,6 +27,10 @@ run long_read_b16_cut4 1800 3 python benchmarks/long_read.py \
 run long_read_b16 1800 2 python benchmarks/long_read.py \
     --read-len 131072 --batch 16 --reps 2
 
+# does unrolling the K-step loop let XLA overlap across step boundaries
+# (step i's optimizer tail vs step i+1's early-layer forward)?
+run bench_k20_unroll2 1500 2 python bench.py --scan-unroll 2
+
 # VERDICT r4 #7: trace the K-step champion and attribute the residue
 run bench_trace_k20 1200 2 python bench.py --trace "$OUT/trace_k20"
 if [ -d "$OUT/trace_k20" ]; then
