@@ -21,7 +21,7 @@ for target in 30000 40000; do
     python examples/gaussian_eval.py \
       --scale 1.0 --nhid 512 --batch-size 16 --bf16 \
       --lr 2.5e-4 --warmup 300 --max-update-norm 30 \
-      --steps "$target" --save-every 500 \
+      --steps "$target" --save-every 1500 \
       --eval-batches 4 \
       --ckpt-dir "$CKPT" \
       --out "runs/gauss_r5/eval_${target}.json" \
@@ -37,7 +37,7 @@ tools/run_with_retries.sh 10800 40 \
   python examples/gaussian_eval.py \
     --scale 1.0 --nhid 512 --batch-size 16 --bf16 \
     --lr 2.5e-4 --cosine --max-update-norm 30 \
-    --steps 48000 --save-every 500 \
+    --steps 48000 --save-every 1500 \
     --eval-batches 4 \
     --ckpt-dir "$CKPT" \
     --out "runs/gauss_r5/eval_48000.json" \
