@@ -82,6 +82,10 @@ def main(argv=None):
     ap.add_argument("--ckpt-dir", default=None,
                     help="checkpoint/resume dir (enables stall watchdog)")
     ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--async-ckpt", action="store_true",
+                    help="overlap checkpoint writes with training "
+                         "(training/checkpoint.py async_save; a sync "
+                         "full-state save of the eval config costs ~89 s)")
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate the latest checkpoint")
@@ -174,7 +178,8 @@ def main(argv=None):
     start = 0
     if args.ckpt_dir:
         from wavenet_speech_tpu.training.checkpoint import (
-            latest_step, restore_checkpoint, save_checkpoint)
+            latest_step, restore_checkpoint, save_checkpoint,
+            wait_for_async_saves)
 
         _tick()
         if latest_step(args.ckpt_dir) is not None:
@@ -261,8 +266,10 @@ def main(argv=None):
                       flush=True)
             else:
                 save_checkpoint(args.ckpt_dir, state, step=i + 1,
-                                max_to_keep=4)
+                                max_to_keep=4, async_save=args.async_ckpt)
     if args.ckpt_dir and args.steps > start:
+        if args.async_ckpt:
+            wait_for_async_saves(args.ckpt_dir)
         save_checkpoint(args.ckpt_dir, state, step=args.steps, max_to_keep=2)
     _tick()
 

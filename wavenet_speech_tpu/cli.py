@@ -159,6 +159,7 @@ def train_with_result(cfg) -> dict:
         latest_step,
         restore_checkpoint,
         save_checkpoint,
+        wait_for_async_saves,
     )
     from wavenet_speech_tpu.utils.config import config_to_json
     from wavenet_speech_tpu.utils.run_logging import Logger, MovingAverageMeter, Throughput
@@ -274,7 +275,10 @@ def train_with_result(cfg) -> dict:
                                    f"loss {stop_crit:.4f} < {stop_threshold}")
                     break
             if step_idx // t["save_every"] > prev_idx // t["save_every"]:
-                save_checkpoint(logger.ckpt_dir, state)
+                # async_checkpoint: true overlaps the serialization/write
+                # with the next training steps (training/checkpoint.py)
+                save_checkpoint(logger.ckpt_dir, state,
+                                async_save=bool(t.get("async_checkpoint")))
                 logger.message(f"checkpoint @ step {step_idx}")
     except KeyboardInterrupt:
         logger.message("interrupted; saving")
@@ -284,6 +288,7 @@ def train_with_result(cfg) -> dict:
         # leave `state` pointing at donated buffers — skip the final save
         # then (the periodic checkpoint stands) instead of crashing.
         try:
+            wait_for_async_saves(logger.ckpt_dir)  # no-op in sync mode
             save_checkpoint(logger.ckpt_dir, state)
             logger.message(f"final checkpoint @ step {step_idx}")
         except RuntimeError as e:
