@@ -63,6 +63,10 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
         key = os.path.abspath(ckpt_dir)
         mgr = _ASYNC_MANAGERS.get(key)
         if mgr is None:
+            if not _ASYNC_MANAGERS:  # first async use: flush on clean exit
+                import atexit
+
+                atexit.register(wait_for_async_saves)
             mgr = _manager(ckpt_dir, max_to_keep)
             _ASYNC_MANAGERS[key] = mgr
         mgr.wait_until_finished()  # <= one save in flight
