@@ -203,3 +203,44 @@ def test_decoder_times_output():
     assert t_d == t_n
     for s, t in zip(str_d, t_d):
         assert len(s) == len(t)
+
+
+def test_cli_train_multi_step_schedule_asyncckpt(tmp_path):
+    """Round-5 trainer knobs end-to-end through the CLI: steps_per_call
+    (device-side K-step loop over K stacked batches), optim.schedule
+    (warmup_cosine via make_lr_schedule), fixed_valid_batches (held-out
+    batches sampled once), async_checkpoint (background Orbax writes).
+    The run-dir contract and checkpoint/resume must hold unchanged."""
+    cfg = json_to_config(os.path.join(os.path.dirname(__file__), "..",
+                                      "configs", "overfit_pore.json"))
+    run_dir = str(tmp_path / "run")
+    cfg["training"].update({
+        "save_dir": run_dir, "max_iters": 40, "print_every": 10,
+        "save_every": 20, "steps_per_call": 5, "fixed_valid_batches": 2,
+        "async_checkpoint": True,
+    })
+    cfg["training"].pop("early_stop_vloss", None)
+    cfg["training"]["optim"].update({"schedule": "warmup_cosine",
+                                     "warmup_steps": 5, "decay_steps": 40})
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    from wavenet_speech_tpu.cli import main
+
+    assert main(["train", cfg_path]) == 0
+    assert os.path.exists(os.path.join(run_dir, "logs", "training.log"))
+    assert latest_step(os.path.join(run_dir, "ckpts/")) == 40
+    # the metrics stream logged at the K-block print boundaries
+    mpath = os.path.join(run_dir, "logs", "metrics.jsonl")
+    with open(mpath) as f:
+        steps = [json.loads(line)["step"] for line in f]
+    assert steps == [10, 20, 30, 40]
+    # valid_loss present (fixed batches) and finite at every print
+    with open(mpath) as f:
+        vl = [json.loads(line)["valid_loss"] for line in f]
+    assert all(v == v for v in vl)  # no NaNs
+
+    # resume continues the schedule from the async-saved checkpoint
+    assert main(["train", cfg_path]) == 0
+    assert latest_step(os.path.join(run_dir, "ckpts/")) == 80
