@@ -31,12 +31,19 @@ run long_read_b16 1800 2 python benchmarks/long_read.py \
 # (step i's optimizer tail vs step i+1's early-layer forward)?
 run bench_k20_unroll2 1500 2 python bench.py --scan-unroll 2
 
-# VERDICT r4 #7: trace the K-step champion and attribute the residue
+# VERDICT r4 #7: trace the champion and attribute the residue. Two traces:
+# K=1 is apples-to-apples with the round-4 attribution (per-step lanes);
+# K=20 shows whether the scanned loop changed the device-side picture
+# (its "step" is the whole 20-step program — divide by 20).
+run bench_trace_k1 1200 2 python bench.py --steps-per-call 1 --steps 10 \
+    --trace "$OUT/trace_k1"
 run bench_trace_k20 1200 2 python bench.py --trace "$OUT/trace_k20"
-if [ -d "$OUT/trace_k20" ]; then
-  python tools/analyze_trace.py "$OUT/trace_k20" \
-      > "$OUT/trace_k20_attribution.json" 2> "$OUT/trace_k20_attribution.err"
-  echo "--- attribution: $(tail -c 300 "$OUT/trace_k20_attribution.json")"
-fi
+for T in trace_k1 trace_k20; do
+  if [ -d "$OUT/$T" ]; then
+    python tools/analyze_trace.py "$OUT/$T" \
+        > "$OUT/${T}_attribution.json" 2> "$OUT/${T}_attribution.err"
+    echo "--- $T attribution: $(tail -c 300 "$OUT/${T}_attribution.json")"
+  fi
+done
 
 echo "=== r5 benches done [$(date -u +%H:%M:%S)]"
