@@ -50,7 +50,10 @@ def save_checkpoint(ckpt_dir: str, state: TrainState,
     The async path keeps the manager open, returns once device arrays are
     read back to host, and lets the serialization/write run in background
     (a full-state save of the 247M-param eval config costs ~89 s sync —
-    measured round 5 — most of it hideable). The PREVIOUS async save is
+    measured round 5. The hideable part is the serialization/disk write;
+    the device->host array readback stays synchronous, and through the
+    remote-TPU tunnel that readback can dominate, so the win depends on
+    where the checkpoint bytes actually flow). The PREVIOUS async save is
     waited on first, so at most one save is in flight and a crash loses at
     most the newest checkpoint (orbax writes to a tmp dir + atomic rename,
     so resume falls back to the last COMPLETE step, same as a mid-save
