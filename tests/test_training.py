@@ -258,3 +258,74 @@ def test_multi_step_scan_matches_sequential():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
                                    atol=1e-7,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+def test_safe_global_norm_and_all_finite_overflow_regression():
+    """Round-5 postmortem regression: a FINITE gradient tree at the scale
+    the batch-summed CTC loss actually produces (|g|max ~1e18) overflows
+    optax.global_norm's f32 sum-of-squares to inf — which silently froze
+    12k consecutive quality-run steps via the skip guard
+    (results/tpu_r5/freeze_repro.json). The overflow-proof predicates the
+    trainer now uses must report the truth."""
+    import optax
+
+    from wavenet_speech_tpu.training.trainer import (all_finite,
+                                                     global_norm_safe)
+
+    big = {"a": jnp.full((1000,), 1e18, jnp.float32),
+           "b": jnp.full((100,), -2e18, jnp.float32)}
+    # the naive norm overflows on these fully-finite values...
+    assert not np.isfinite(float(optax.global_norm(big)))
+    # ...the safe norm matches the f64 ground truth
+    want = float(np.sqrt(1000 * (1e18) ** 2 + 100 * (2e18) ** 2))
+    got = float(global_norm_safe(big))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert bool(all_finite(big))
+
+    poisoned = dict(big, c=jnp.asarray([1.0, np.inf], jnp.float32))
+    assert not bool(all_finite(poisoned))
+    assert not np.isfinite(float(global_norm_safe(poisoned)))
+
+    # ordinary scales: safe norm == naive norm
+    small = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.zeros((5,))}
+    np.testing.assert_allclose(float(global_norm_safe(small)),
+                               float(optax.global_norm(small)), rtol=1e-6)
+    zero = {"a": jnp.zeros((4,))}
+    assert float(global_norm_safe(zero)) == 0.0
+
+
+def test_huge_finite_grads_are_not_skipped():
+    """A training step whose gradients are astronomically large but FINITE
+    must APPLY its (update-norm-clipped) update, not skip it — the exact
+    silent-freeze scenario of the round-5 leg 3."""
+    import optax
+
+    from wavenet_speech_tpu.training.trainer import TrainState
+
+    from wavenet_speech_tpu.training import build_optimizer
+
+    # loss with gradient 1e18 * sign pattern — finite, overflow-scale
+    def loss_fn(p, batch):
+        return jnp.sum(p["w"] * batch["x"]) * 1e18, {"ctc_loss": jnp.zeros(())}
+
+    tx = build_optimizer("adamax", 1e-3, max_update_norm=30.0)
+    params = {"w": jnp.ones((64,))}
+    state = TrainState.create(params, tx)
+    batch = {"x": jnp.ones((64,))}
+
+    # replicate the trainer's step body on this loss (the factories are
+    # CTC-bound; the guard logic under test is shared)
+    from wavenet_speech_tpu.training.trainer import (all_finite,
+                                                     global_norm_safe)
+
+    (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, batch)
+    gnorm = global_norm_safe(grads)
+    ok = jnp.isfinite(total) & all_finite(grads)
+    assert bool(ok)                       # finite grads -> step proceeds
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 1e18
+    updates, _ = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # the update actually moved the params, bounded by the update-norm clip
+    delta = float(jnp.linalg.norm(new_params["w"] - state.params["w"]))
+    assert 0.0 < delta <= 30.0 + 1e-6

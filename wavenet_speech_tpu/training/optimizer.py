@@ -73,13 +73,38 @@ def build_optimizer(optim_type: str, learning_rate,
 
     parts = []
     if max_grad_norm:
-        parts.append(optax.clip_by_global_norm(max_grad_norm))
+        parts.append(_clip_by_global_norm_safe(max_grad_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(tx)
     if max_update_norm:
-        parts.append(optax.clip_by_global_norm(max_update_norm))
+        parts.append(_clip_by_global_norm_safe(max_update_norm))
     return optax.chain(*parts)
+
+
+def _clip_by_global_norm_safe(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with an overflow-proof norm.
+
+    The stock clip squares in f32: a FINITE gradient tree with |g|max
+    ~1e18 (which the batch-summed CTC loss produces) reads global norm
+    inf, the trust ratio becomes max_norm/inf = 0, and every update is
+    silently zeroed — the same failure family as the round-5 skip-guard
+    freeze (trainer.all_finite). Same EmptyState, so checkpoints are
+    structurally unchanged."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        from wavenet_speech_tpu.training.trainer import global_norm_safe
+
+        g = global_norm_safe(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g, 1e-30))
+        return jax.tree_util.tree_map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 @dataclasses.dataclass

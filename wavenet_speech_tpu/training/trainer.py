@@ -47,6 +47,32 @@ def _cast(tree, dtype):
         else a, tree)
 
 
+def all_finite(tree) -> jnp.ndarray:
+    """True iff every element of every leaf is finite. The overflow-proof
+    skip-guard predicate: testing finiteness of optax.global_norm instead
+    FALSELY fails on fully-finite gradients once their scale passes
+    ~1.8e19 — global_norm squares in f32, and the batch-summed CTC loss
+    through the eval-scale stack produces finite grads with |g|max ~1e17-
+    1e18 whose sum of squares exceeds f32 max (3.4e38). Measured on
+    hardware: every leg-3 step of the round-5 quality run was silently
+    skipped this way for 12k steps with zero non-finite grad ELEMENTS
+    (results/tpu_r5/freeze_repro.json)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]).all()
+
+
+def global_norm_safe(tree) -> jnp.ndarray:
+    """Overflow-proof global L2 norm: rescale by the global absmax before
+    squaring, so O(1e18)-magnitude finite trees report their true norm
+    instead of inf (see all_finite). Returns 0 for an all-zero tree; a
+    non-finite tree reports a non-finite norm, as the naive norm does."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    absmax = jnp.stack([jnp.max(jnp.abs(l)) for l in leaves]).max()
+    scale = jnp.maximum(absmax, jnp.finfo(jnp.float32).tiny)
+    ssq = sum(jnp.sum(jnp.square(l / scale)) for l in leaves)
+    return jnp.where(absmax > 0, scale * jnp.sqrt(ssq), 0.0)
+
+
 def _scan_steps(step_fn, k: int, same_batch: bool, unroll: int = 1):
     """Wrap a (state, batch) -> (state, metrics) step body into a K-step
     device-side loop: ONE dispatched XLA program runs k optimizer steps.
@@ -140,9 +166,12 @@ def make_joint_train_step(base_model, ctc_model, tx,
         (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
         # non-finite step SKIP (see make_ctc_train_step): params and
-        # optimizer state carry through a poisoned step unchanged
-        gnorm = optax.global_norm(grads)
-        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        # optimizer state carry through a poisoned step unchanged.
+        # all_finite/global_norm_safe, NOT isfinite(optax.global_norm):
+        # the naive norm overflows f32 on finite grads past ~1.8e19 and
+        # would silently freeze training (round-5 postmortem).
+        gnorm = global_norm_safe(grads)
+        ok = jnp.isfinite(total) & all_finite(grads)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = tx.update(grads, state.opt_state,
@@ -218,8 +247,14 @@ def make_ctc_train_step(model, tx, average_per_logit: bool = True,
         # RESULTS.md). Skip the whole update — params AND optimizer state
         # carry through unchanged — and report it. Structure-preserving, so
         # checkpoints remain compatible.
-        gnorm = optax.global_norm(grads)
-        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        # all_finite/global_norm_safe, NOT isfinite(optax.global_norm):
+        # the naive norm squares in f32 and overflows to inf on FINITE
+        # grads once their scale passes ~1.8e19 — which the batch-summed
+        # CTC loss reaches in practice — turning this guard into a silent
+        # permanent freeze (every step skipped, loss still finite; the
+        # round-5 leg-3 postmortem, results/tpu_r5/freeze_repro.json).
+        gnorm = global_norm_safe(grads)
+        ok = jnp.isfinite(total) & all_finite(grads)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, new_opt_state = tx.update(grads, state.opt_state,
