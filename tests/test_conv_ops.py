@@ -168,6 +168,11 @@ def test_conv_impl_resolution(monkeypatch):
     assert conv_impl(2) == "conv"
     monkeypatch.setenv("WAVENET_CONV_IMPL", "matmul")
     assert conv_impl(9) == "matmul"
+    # a typo'd override must fail loudly, not fall through to lax.conv
+    # (advisor r4 finding #2)
+    monkeypatch.setenv("WAVENET_CONV_IMPL", "matmull")
+    with pytest.raises(ValueError, match="WAVENET_CONV_IMPL"):
+        conv_impl(2)
     monkeypatch.delenv("WAVENET_CONV_IMPL")
     if jax.default_backend() == "tpu":  # pragma: no cover (CPU suite)
         assert conv_impl(2) == "matmul"
